@@ -1,0 +1,271 @@
+"""Binary codecs: 16-bit grayscale PNG, RGBA8 PNG, HGT, XTH.
+
+Parity with the reference is at the **decoded-pixel** level (SURVEY.md
+§2.1 S4/S5): we use zlib + numpy instead of re-implementing Demeton's
+from-scratch PNG pipeline, but the height↔uint16 mapping, HGT row
+order/overlap and XTH bit packing are bit-exact.
+
+Reference semantics (file:line in /root/reference):
+  - height↔uint16 (+offset, 0=missing): Demeton/Srtm/Png.fs:14-39
+  - PNG container (sig/IHDR/IDAT/IEND):  Demeton/Png/File.fs:19-53,
+                                         Demeton/Png/Chunks.fs:21-213
+  - scanline filters (we emit Up, decode all 5): Demeton/Png/Filters.fs:36-120
+  - HGT big-endian, north-first rows, 1-px overlap skip:
+                                         Demeton/Dem/Hgt.fs:14-129
+  - XTH little-endian + water-bit packing: Demeton/Dem/Xth.fs:19-200
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .tiles import DEM_HEIGHT_NONE
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_HEIGHT_OFFSET = 32768  # uint16 = int16 height + 32768; 0 encodes missing
+
+
+# ---------------------------------------------------------------------------
+# height <-> uint16 (Srtm/Png.fs:29-39)
+# ---------------------------------------------------------------------------
+
+def heights_to_uint16(heights: np.ndarray) -> np.ndarray:
+    """int16 (sentinel) → uint16; DEM_HEIGHT_NONE (-32768) maps to 0."""
+    return (heights.astype(np.int32) + _HEIGHT_OFFSET).astype(np.uint16)
+
+
+def uint16_to_heights(values: np.ndarray) -> np.ndarray:
+    """uint16 → int16 heights; 0 maps back to DEM_HEIGHT_NONE."""
+    return (values.astype(np.int32) - _HEIGHT_OFFSET).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# minimal PNG container
+# ---------------------------------------------------------------------------
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(raw: np.ndarray, bit_depth: int, color_type: int) -> bytes:
+    """Encode a (H, W[, C]) uint8/uint16 array as PNG with the Up filter.
+
+    Up filtering before deflate is what makes smooth terrain compress
+    well (the reference picks filters by min-sum-of-abs heuristic,
+    Filters.fs:113-120; Up wins on smooth gradients).
+    """
+    if raw.ndim == 2:
+        h, w = raw.shape
+        channels = 1
+    else:
+        h, w, channels = raw.shape
+    if bit_depth == 16:
+        body = raw.astype(">u2").tobytes()
+        bpr = w * channels * 2
+    else:
+        body = raw.astype(np.uint8).tobytes()
+        bpr = w * channels
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, bpr)
+    prev = np.zeros((1, bpr), dtype=np.uint8)
+    up = rows - np.vstack([prev, rows[:-1]])  # uint8 wraparound == mod 256
+    filtered = np.empty((h, bpr + 1), dtype=np.uint8)
+    filtered[:, 0] = 2  # Up filter
+    filtered[:, 1:] = up
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    idat = zlib.compress(filtered.tobytes(), 6)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    pa = np.abs(b.astype(np.int16) - c)
+    pb = np.abs(a.astype(np.int16) - c)
+    pc = np.abs(a.astype(np.int16) + b - 2 * c.astype(np.int16))
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _decode_png(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a non-interlaced 8/16-bit gray or RGBA PNG.
+
+    Returns (array, bit_depth, color_type); array is (H, W) for gray,
+    (H, W, 4) for RGBA.  Handles all 5 scanline filters (Unfilters.fs).
+    """
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    bytes_per_sample = bit_depth // 8
+    bpp = channels * bytes_per_sample
+    bpr = width * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8).reshape(
+        height, bpr + 1
+    )
+    filters = raw[:, 0]
+    out = np.empty((height, bpr), dtype=np.uint8)
+    prev = np.zeros(bpr, dtype=np.uint8)
+    for y in range(height):
+        row = raw[y, 1:].copy()
+        f = filters[y]
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub
+            cur = row
+            for x in range(bpp, bpr):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (row + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            cur = row
+            for x in range(bpr):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = row
+            for x in range(bpr):
+                left = cur[x - bpp] if x >= bpp else np.uint8(0)
+                ul = prev[x - bpp] if x >= bpp else np.uint8(0)
+                cur[x] = (
+                    int(cur[x])
+                    + int(_paeth(np.uint8(left), prev[x], np.uint8(ul)))
+                ) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    if bit_depth == 16:
+        arr = out.reshape(height, width, channels, 2)
+        arr = (arr[..., 0].astype(np.uint16) << 8) | arr[..., 1]
+    else:
+        arr = out.reshape(height, width, channels)
+    if channels == 1:
+        arr = arr[..., 0] if arr.ndim == 3 else arr.reshape(height, width)
+    return arr, bit_depth, color_type
+
+
+# ---------------------------------------------------------------------------
+# public codecs
+# ---------------------------------------------------------------------------
+
+def encode_heights_png(heights: np.ndarray) -> bytes:
+    """int16 heights block (row 0 = south) → 16-bit grayscale PNG bytes
+    (encodeSrtmHeightsArrayToPng, Srtm/Png.fs:53-70)."""
+    return _encode_png(heights_to_uint16(heights), 16, 0)
+
+
+def decode_heights_png(data: bytes) -> np.ndarray:
+    """16-bit grayscale PNG bytes → int16 heights block (Srtm/Png.fs:128-182)."""
+    arr, bit_depth, color_type = _decode_png(data)
+    if bit_depth != 16 or color_type != 0:
+        raise ValueError(
+            f"expected 16-bit grayscale PNG, got depth={bit_depth} color={color_type}"
+        )
+    return uint16_to_heights(arr)
+
+
+def encode_rgba_png(image: np.ndarray) -> bytes:
+    """(H, W, 4) uint8 RGBA → PNG bytes."""
+    return _encode_png(image, 8, 6)
+
+
+def decode_rgba_png(data: bytes) -> np.ndarray:
+    arr, bit_depth, color_type = _decode_png(data)
+    if bit_depth != 8 or color_type != 6:
+        raise ValueError("expected 8-bit RGBA PNG")
+    return arr
+
+
+def decode_hgt(data: bytes, tile_size: int) -> np.ndarray:
+    """HGT bytes → int16 block, row 0 = **south** (DEM orientation).
+
+    HGT files are north-first with a 1-row/col overlap with neighbors:
+    (tile_size+1)² big-endian int16 samples.  The reader skips the first
+    (northmost) row and the last (eastmost) column and reverses row order
+    (Dem/Hgt.fs:30-74); 0x8000 → missing sentinel (Dem/Funcs.fs:311-316).
+    """
+    side = tile_size + 1
+    raw = np.frombuffer(data, dtype=">i2")
+    if raw.size == side * side:
+        grid = raw.reshape(side, side).astype(np.int16)
+        # drop the north overlap row + east overlap col, flip to south-up
+        block = grid[1:, :-1][::-1, :].copy()
+    elif raw.size == tile_size * tile_size:
+        # bare grid as produced by the reference writer (Hgt.fs:95-107)
+        block = raw.reshape(tile_size, tile_size).astype(np.int16)[::-1, :].copy()
+    else:
+        raise ValueError(
+            f"HGT payload must be {side}x{side} or {tile_size}x{tile_size} samples"
+        )
+    block[block == np.int16(-0x8000)] = DEM_HEIGHT_NONE  # 0x8000 == sentinel
+    return block
+
+
+def encode_hgt(heights: np.ndarray) -> bytes:
+    """HGT writer parity (Dem/Hgt.fs:95-107): north-first rows (reverse of
+    the south-up block), big-endian int16, **no** overlap row/col."""
+    return heights[::-1, :].astype(">i2").tobytes()
+
+
+# --- XTH: little-endian int16 with the water-body flag in the MSB ---------
+
+_XTH_MIN_HEIGHT = -500  # heights offset into the low 15 bits (Dem/Xth.fs)
+
+
+def encode_xth(heights: np.ndarray, water_mask: np.ndarray) -> bytes:
+    """Pack heights + water flags (Dem/Xth.fs:19-200 semantics).
+
+    value = (height - MIN_HEIGHT) | (water << 15), little-endian int16;
+    missing heights encode as 0 (below any valid offset height).
+    """
+    offs = heights.astype(np.int32) - _XTH_MIN_HEIGHT
+    offs = np.where(heights == DEM_HEIGHT_NONE, 0, offs)
+    packed = (offs | (water_mask.astype(np.int32) << 15)).astype(np.uint16)
+    return packed.astype("<u2").tobytes()
+
+
+def decode_xth(data: bytes, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_xth` → (heights int16, water bool)."""
+    packed = np.frombuffer(data, dtype="<u2").reshape(-1, width)
+    water = (packed >> 15).astype(bool)
+    offs = (packed & 0x7FFF).astype(np.int32)
+    heights = np.where(
+        offs == 0, DEM_HEIGHT_NONE, offs + _XTH_MIN_HEIGHT
+    ).astype(np.int16)
+    return heights, water
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
+    """Peak signal-to-noise ratio in dB (∞ for identical arrays)."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)

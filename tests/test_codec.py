@@ -1,0 +1,118 @@
+"""Codec round-trip tests (PNG gray16 / RGBA, HGT, XTH, uint16 mapping).
+
+Sources:
+  - height↔uint16 cases 0→32768, 1000→33768, None→0:
+    /root/reference/Demeton.Tests/Srtm/Converting HGT to PNG.fs:19-38
+  - PNG round-trip over random sizes:
+    /root/reference/Demeton.Tests/Png/Reading and writing PNG files.fs:113-179
+  - HGT read/write: /root/reference/Demeton.Tests/Dem/Reading and writing HGT files.fs
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demeton_spark import codec
+from demeton_spark.tiles import DEM_HEIGHT_NONE
+
+
+def test_height_uint16_golden_cases():
+    h = np.array([0, 1000, DEM_HEIGHT_NONE], dtype=np.int16)
+    u = codec.heights_to_uint16(h)
+    assert list(u) == [32768, 33768, 0]
+    back = codec.uint16_to_heights(u)
+    assert list(back) == [0, 1000, DEM_HEIGHT_NONE]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png16_round_trip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    heights = rng.integers(-12000, 9000, size=(h, w)).astype(np.int16)
+    heights[rng.random((h, w)) < 0.1] = DEM_HEIGHT_NONE
+    data = codec.encode_heights_png(heights)
+    assert data[:8] == codec.PNG_SIGNATURE
+    decoded = codec.decode_heights_png(data)
+    assert np.array_equal(decoded, heights)
+    assert codec.psnr(
+        codec.heights_to_uint16(decoded), codec.heights_to_uint16(heights)
+    ) == float("inf")
+
+
+def test_rgba_png_round_trip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(15, 23, 4), dtype=np.uint8)
+    back = codec.decode_rgba_png(codec.encode_rgba_png(img))
+    assert np.array_equal(back, img)
+
+
+def test_decode_all_filter_types():
+    # build a PNG by hand with each filter type on successive rows
+    import struct
+    import zlib
+
+    w, h = 4, 5
+    rows = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    # encode with filter 0 (None) rows, then re-decode: baseline
+    raw = b"".join(bytes([0]) + rows[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        codec.PNG_SIGNATURE
+        + codec._chunk(b"IHDR", ihdr)
+        + codec._chunk(b"IDAT", zlib.compress(raw))
+        + codec._chunk(b"IEND", b"")
+    )
+    arr, _, _ = codec._decode_png(png)
+    assert np.array_equal(arr, rows)
+
+
+def test_hgt_round_trip_bare():
+    rng = np.random.default_rng(3)
+    heights = rng.integers(-500, 4000, size=(8, 8)).astype(np.int16)
+    data = codec.encode_hgt(heights)
+    assert len(data) == 8 * 8 * 2
+    back = codec.decode_hgt(data, 8)
+    assert np.array_equal(back, heights)
+
+
+def test_hgt_decode_with_overlap_row_col():
+    ts = 4
+    side = ts + 1
+    # north-first grid with overlap; value = row*10 + col
+    grid = np.array(
+        [[r * 10 + c for c in range(side)] for r in range(side)], dtype=np.int16
+    )
+    block = codec.decode_hgt(grid.astype(">i2").tobytes(), ts)
+    # south-up: block row 0 = southernmost = grid row ts (last), cols 0..ts-1
+    assert list(block[0]) == [40, 41, 42, 43]
+    assert list(block[-1]) == [10, 11, 12, 13]  # grid row 1 (row 0 skipped)
+
+
+def test_hgt_missing_sentinel():
+    ts = 2
+    grid = np.full((ts, ts), -0x8000, dtype=np.int16)
+    block = codec.decode_hgt(grid.astype(">i2").tobytes(), ts)
+    assert np.all(block == DEM_HEIGHT_NONE)
+
+
+def test_xth_round_trip():
+    heights = np.array([[0, 1000], [-400, DEM_HEIGHT_NONE]], dtype=np.int16)
+    water = np.array([[True, False], [False, True]])
+    data = codec.encode_xth(heights, water)
+    back_h, back_w = codec.decode_xth(data, 2)
+    assert np.array_equal(back_h, heights)
+    # water on a missing height survives the MSB
+    assert np.array_equal(back_w, water)
+
+
+def test_psnr():
+    a = np.zeros((4, 4), dtype=np.uint16)
+    b = a.copy()
+    b[0, 0] = 655  # 1% of peak
+    assert codec.psnr(a, a) == float("inf")
+    assert codec.psnr(a, b) > 40.0
