@@ -1,0 +1,389 @@
+"""The Spark dataflow: image rows → tile assignment → tile assembly →
+halo exchange → vectorized shading → PNG tile sink.
+
+This is the idiomatic-Spark re-expression of Demeton's ``shade``
+lifecycle (/root/reference/Demeton/Commands/ShadeCommand.fs:555-614),
+with the reference's sequential per-tile fold replaced by one task per
+tile and its implicit 1-px over-fetch replaced by an explicit halo
+exchange (SURVEY.md §2.3 J3):
+
+  1. ``parse_caption``     — pure Column expressions recover the block's
+                             tile + block coords from the caption
+                             (equi-join key construction, J1).
+  2. ``assemble_tiles``    — groupBy(tile).applyInPandas stitches blocks
+                             into one int16 tile raster (J2 mosaic;
+                             deterministic overwrite order §4.3).
+  3. ``exchange_halo``     — every tile emits 8 edge strips keyed by the
+                             neighbor that needs them; one shuffle
+                             brings a tile and its 8 strips together and
+                             pads to (ts+2)² with DEM_HEIGHT_NONE at
+                             world edges (extract-fill semantics,
+                             Dem/Funcs.fs:395-416).
+  4. ``shade_tiles``       — mapInPandas: Horn p/q on the padded block,
+                             slope/aspect, shading-script evaluation,
+                             Y-flip, RGBA PNG encode
+                             (Hillshading.fs:81-157 vectorized).
+  5. ``run_hillshade``     — end-to-end with optional resumable
+                             checkpointing (anti-join against a per-tile
+                             manifest — Srtm/Fetch.fs negative-cache
+                             semantics) and pixel-count metrics.
+
+Scale notes: the only wide operations are the two tile-keyed shuffles
+(assembly, halo).  Strip rows are ~0.1% the size of tile rows.  Skewed
+(land-heavy) tiles are handled upstream by AQE skew splitting for the
+shuffle and by the fact that a tile is the atomic work unit — at
+10^12-image scale ``spark.sql.shuffle.partitions`` should be sized to
+tiles, and the assignment join salts naturally because block rows of
+one tile spread across input partitions.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codec, kernels, pipeline
+from .synth import WorldSpec
+from .tiles import (
+    DEM_HEIGHT_NONE,
+    cells_per_degree,
+    tile_name_col,
+)
+
+# ---------------------------------------------------------------------------
+# 1. caption → tile assignment (pure Column expressions, J1)
+# ---------------------------------------------------------------------------
+
+_CAPTION_PATTERN = r"tile ([NS]\d{2}[EW]\d{3}) block \((\d+),(\d+)\)"
+
+
+def invalid_caption_rows(images: DataFrame) -> DataFrame:
+    """Rows whose caption carries no parseable geo anchor (quarantine).
+
+    At ingest scale a single bad row must not fail the job; route these
+    to a dead-letter sink and count them, don't crash (§2.11 negative-
+    cache spirit).
+    """
+    return images.where(~F.col("caption").rlike(_CAPTION_PATTERN))
+
+
+def parse_caption(images: DataFrame) -> DataFrame:
+    """Recover ``(tile_x, tile_y, bx, by)`` from the caption column.
+
+    Inverse of parseHgtTileName (Dem/Funcs.fs:157-188) as Catalyst
+    expressions — stays inside whole-stage codegen, no Python.
+    Rows with unparseable captions are dropped here; collect them with
+    :func:`invalid_caption_rows` first if you need a quarantine sink.
+    """
+    images = images.where(F.col("caption").rlike(_CAPTION_PATTERN))
+    name = F.regexp_extract("caption", _CAPTION_PATTERN, 1)
+    lat_sign = F.when(F.substring(name, 1, 1) == "N", 1).otherwise(-1)
+    lon_sign = F.when(F.substring(name, 4, 1) == "E", 1).otherwise(-1)
+    return (
+        images.withColumn("tile_name", name)
+        .withColumn("tile_y", (lat_sign * F.substring(name, 2, 2).cast("int")).cast("int"))
+        .withColumn("tile_x", (lon_sign * F.substring(name, 5, 3).cast("int")).cast("int"))
+        .withColumn(
+            "bx", F.regexp_extract("caption", _CAPTION_PATTERN, 2).cast("int")
+        )
+        .withColumn(
+            "by", F.regexp_extract("caption", _CAPTION_PATTERN, 3).cast("int")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. tile assembly (J2 mosaic)
+# ---------------------------------------------------------------------------
+
+ASSEMBLED_SCHEMA = (
+    "tile_x int, tile_y int, heights binary, n_blocks int, missing_px long"
+)
+
+
+def _decode_block(fmt: str, payload: bytes, block_size: int) -> np.ndarray:
+    if fmt == "png16":
+        return codec.decode_heights_png(bytes(payload))
+    if fmt == "hgt":
+        return codec.decode_hgt(bytes(payload), block_size)
+    raise ValueError(f"unknown block format {fmt!r}")
+
+
+def assemble_tiles(assigned: DataFrame, tile_size: int) -> DataFrame:
+    """Stitch image blocks into one int16 raster per tile.
+
+    Later blocks overwrite earlier ones in deterministic ``(by, bx,
+    image_id)`` order — Spark group order is nondeterministic, the sort
+    re-establishes the reference's merge semantics (Dem/Funcs.fs:357-388,
+    §4.3 "merge overwrite order").
+    """
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_x = int(pdf["tile_x"].iloc[0])
+        tile_y = int(pdf["tile_y"].iloc[0])
+        tile = np.full((tile_size, tile_size), DEM_HEIGHT_NONE, dtype=np.int16)
+        pdf = pdf.sort_values(["by", "bx", "image_id"])
+        for fmt, payload, w, h, bx, by in zip(
+            pdf["fmt"], pdf["bytes"], pdf["w"], pdf["h"], pdf["bx"], pdf["by"]
+        ):
+            block = _decode_block(fmt, payload, int(w))
+            y0, x0 = int(by) * int(h), int(bx) * int(w)
+            tile[y0 : y0 + int(h), x0 : x0 + int(w)] = block
+        missing = int(np.count_nonzero(tile == DEM_HEIGHT_NONE))
+        return pd.DataFrame(
+            {
+                "tile_x": [tile_x],
+                "tile_y": [tile_y],
+                "heights": [tile.tobytes()],
+                "n_blocks": [len(pdf)],
+                "missing_px": [missing],
+            }
+        )
+
+    return assigned.groupBy("tile_x", "tile_y").applyInPandas(
+        stitch, schema=ASSEMBLED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. halo exchange (J3 — the explicit stencil join)
+# ---------------------------------------------------------------------------
+
+HALO_PART_SCHEMA = "tile_x int, tile_y int, part string, data binary"
+PADDED_SCHEMA = "tile_x int, tile_y int, padded binary"
+
+#: strip emitted from a tile → (dest offset, part name at destination,
+#: numpy slice of the sender's block).  Part names say where the data
+#: lands in the receiver's padded array.
+_STRIP_SPEC = [
+    ((0, 1), "S", lambda t: t[-1:, :]),    # my north edge = north nbr's south pad
+    ((0, -1), "N", lambda t: t[:1, :]),    # my south edge = south nbr's north pad
+    ((1, 0), "W", lambda t: t[:, -1:]),    # my east edge = east nbr's west pad
+    ((-1, 0), "E", lambda t: t[:, :1]),    # my west edge = west nbr's east pad
+    ((1, 1), "SW", lambda t: t[-1:, -1:]),
+    ((-1, 1), "SE", lambda t: t[-1:, :1]),
+    ((1, -1), "NW", lambda t: t[:1, -1:]),
+    ((-1, -1), "NE", lambda t: t[:1, :1]),
+]
+
+
+def exchange_halo(tiles: DataFrame, tile_size: int) -> DataFrame:
+    """Pad every tile to (ts+2)² using its 8 neighbors' edge strips.
+
+    One narrow map emits the strips (~4·ts cells per tile, ≈0.1% of the
+    tile), one shuffle groups strips with their destination tile.
+    Missing neighbors (world edge) pad with DEM_HEIGHT_NONE, matching
+    ``extract``'s out-of-bounds fill (Dem/Funcs.fs:395-416).
+    """
+
+    def emit_strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"tile_x": [], "tile_y": [], "part": [], "data": []}
+            for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["heights"]):
+                tile = np.frombuffer(buf, dtype="<i2").reshape(tile_size, tile_size)
+                for (dx, dy), part, cut in _STRIP_SPEC:
+                    out["tile_x"].append(int(tx) + dx)
+                    out["tile_y"].append(int(ty) + dy)
+                    out["part"].append(part)
+                    out["data"].append(np.ascontiguousarray(cut(tile)).tobytes())
+            yield pd.DataFrame(out)
+
+    strips = tiles.mapInPandas(emit_strips, schema=HALO_PART_SCHEMA)
+    centers = tiles.select(
+        "tile_x", "tile_y", F.lit("C").alias("part"), F.col("heights").alias("data")
+    )
+
+    def pad(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = dict(zip(pdf["part"], pdf["data"]))
+        if "C" not in parts:  # strips sent into empty space (no such tile)
+            return pd.DataFrame(columns=["tile_x", "tile_y", "padded"])
+        ts = tile_size
+        padded = np.full((ts + 2, ts + 2), DEM_HEIGHT_NONE, dtype=np.int16)
+        padded[1:-1, 1:-1] = np.frombuffer(parts["C"], dtype="<i2").reshape(ts, ts)
+
+        def strip(name: str, shape: tuple[int, int]) -> np.ndarray | None:
+            if name not in parts:
+                return None
+            return np.frombuffer(parts[name], dtype="<i2").reshape(shape)
+
+        s = strip("S", (1, ts))
+        if s is not None:
+            padded[0, 1:-1] = s[0]
+        n = strip("N", (1, ts))
+        if n is not None:
+            padded[-1, 1:-1] = n[0]
+        w = strip("W", (ts, 1))
+        if w is not None:
+            padded[1:-1, 0] = w[:, 0]
+        e = strip("E", (ts, 1))
+        if e is not None:
+            padded[1:-1, -1] = e[:, 0]
+        for corner, (yy, xx) in [
+            ("SW", (0, 0)),
+            ("SE", (0, ts + 1)),
+            ("NW", (ts + 1, 0)),
+            ("NE", (ts + 1, ts + 1)),
+        ]:
+            c = strip(corner, (1, 1))
+            if c is not None:
+                padded[yy, xx] = c[0, 0]
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf["tile_x"].iloc[0])],
+                "tile_y": [int(pdf["tile_y"].iloc[0])],
+                "padded": [padded.tobytes()],
+            }
+        )
+
+    return (
+        centers.unionByName(strips)
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(pad, schema=PADDED_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. shading (W1-W3 + §2.8 shaders, vectorized per tile)
+# ---------------------------------------------------------------------------
+
+SHADED_SCHEMA = (
+    "tile_x int, tile_y int, tile_name string, width int, height int, "
+    "png binary, shaded_px long, total_px long"
+)
+
+
+def shade_padded_block(
+    padded: np.ndarray, tile_x: int, tile_y: int, tile_size: int, steps
+) -> tuple[np.ndarray, int]:
+    """Numpy core shared by the Spark path and the single-array oracle.
+
+    ``padded`` is the (ts+2, ts+2) int16 block (row 0 = south).  Returns
+    (RGBA image in bitmap orientation — row 0 = north, per the Y-flip at
+    Hillshading.fs:150-153 — and the shaded-pixel count).
+    """
+    cpd = cells_per_degree(tile_size, 0)
+    f = kernels.heights_to_float(padded)
+    # latitude of each pixel row (cell y / cpd), row 0 = tile's south edge
+    min_cell_y = tile_y * tile_size
+    rows = np.arange(tile_size, dtype=np.float64) + min_cell_y
+    lat_deg = rows / cpd
+    grid_w, grid_h = kernels.grid_size_meters(cpd, lat_deg)
+    p, q = kernels.horn_pq(f, grid_w[:, None], grid_h[:, None])
+    slope, aspect = kernels.slope_and_aspect(p, q)
+    ctx = pipeline.ShadeContext(heights=f[1:-1, 1:-1], slope=slope, aspect=aspect)
+    rgba = pipeline.evaluate_steps(steps, ctx)
+    shaded = int(np.count_nonzero(rgba[..., 3] > 0))
+    return rgba[::-1, :, :], shaded  # Y-flip to bitmap orientation
+
+
+def shade_tiles(
+    padded_tiles: DataFrame, tile_size: int, script: str = pipeline.DEFAULT_SCRIPT
+) -> DataFrame:
+    """Run the shading pipeline over halo-padded tiles (one task per tile)."""
+    steps = pipeline.parse_script(script)
+
+    def shade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "tile_x", "tile_y", "tile_name", "width", "height",
+                "png", "shaded_px", "total_px",
+            )}
+            for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["padded"]):
+                padded = np.frombuffer(buf, dtype="<i2").reshape(
+                    tile_size + 2, tile_size + 2
+                )
+                rgba, shaded = shade_padded_block(
+                    padded, int(tx), int(ty), tile_size, steps
+                )
+                from .tiles import tile_name as _tname
+
+                rows["tile_x"].append(int(tx))
+                rows["tile_y"].append(int(ty))
+                rows["tile_name"].append(_tname(0, int(tx), int(ty)))
+                rows["width"].append(tile_size)
+                rows["height"].append(tile_size)
+                rows["png"].append(codec.encode_rgba_png(rgba))
+                rows["shaded_px"].append(shaded)
+                rows["total_px"].append(tile_size * tile_size)
+            yield pd.DataFrame(rows)
+
+    return padded_tiles.mapInPandas(shade, schema=SHADED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# 5. end-to-end job with resumable checkpoints + metrics
+# ---------------------------------------------------------------------------
+
+def run_hillshade(
+    spark: SparkSession,
+    images: DataFrame,
+    tile_size: int,
+    script: str = pipeline.DEFAULT_SCRIPT,
+    output_dir: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """images table → shaded PNG tiles.
+
+    With ``output_dir`` the job is resumable: completed tile keys are
+    read back from the sink (the checkpoint manifest) and anti-joined
+    out of the input — re-running after a failure only shades the
+    missing tiles (ImportSrtmTilesCommand.fs:110-124 semantics).
+    """
+    assigned = parse_caption(images)
+    tiles = assemble_tiles(assigned, tile_size)
+    if output_dir is not None and resume:
+        done = _read_manifest(spark, output_dir)
+        if done is not None:
+            tiles = tiles.join(
+                F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
+            )
+    padded = exchange_halo(tiles, tile_size)
+    shaded = shade_tiles(padded, tile_size, script)
+    if output_dir is not None:
+        shaded.write.mode("append").parquet(output_dir)
+        return spark.read.parquet(output_dir)
+    return shaded
+
+
+def _read_manifest(spark: SparkSession, output_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(output_dir).select("tile_x", "tile_y").distinct()
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# single-array oracle (for the tiled == untiled parity property)
+# ---------------------------------------------------------------------------
+
+def shade_world_oracle(
+    world: np.ndarray,
+    spec: WorldSpec,
+    script: str = pipeline.DEFAULT_SCRIPT,
+) -> np.ndarray:
+    """Shade the whole world as ONE merged array (the reference's
+    merged-HeightsArray path) and return the bitmap-oriented RGBA image.
+    Used to prove the halo exchange reproduces untiled results.
+    """
+    steps = pipeline.parse_script(script)
+    ts = spec.tile_size
+    cpd = cells_per_degree(ts, 0)
+    h, w = world.shape
+    padded = np.full((h + 2, w + 2), DEM_HEIGHT_NONE, dtype=np.int16)
+    padded[1:-1, 1:-1] = world
+    f = kernels.heights_to_float(padded)
+    min_cell_y = spec.lat0 * ts
+    lat_deg = (np.arange(h, dtype=np.float64) + min_cell_y) / cpd
+    grid_w, grid_h = kernels.grid_size_meters(cpd, lat_deg)
+    p, q = kernels.horn_pq(f, grid_w[:, None], grid_h[:, None])
+    slope, aspect = kernels.slope_and_aspect(p, q)
+    ctx = pipeline.ShadeContext(
+        heights=f[1:-1, 1:-1], slope=slope, aspect=aspect
+    )
+    rgba = pipeline.evaluate_steps(steps, ctx)
+    return rgba[::-1, :, :]

@@ -1,0 +1,51 @@
+"""SparkSession builder tuned for the tiling engine.
+
+Scale posture (SURVEY.md §7.3): AQE on (runtime re-plan + skew-join
+splitting), Arrow transfer for pandas UDFs, shuffle partitions sized to
+the core count (tiles are coarse units — a few per core is enough), and
+generous Arrow batch limits because one assembled tile row is a multi-MB
+binary blob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "demeton-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    # parse local[N] for partition sizing; cluster masters fall back to cpus
+    if master.startswith("local[") and master[6:-1].isdigit():
+        parallelism = int(master[6:-1])
+    else:
+        parallelism = cpus
+    shuffle_partitions = shuffle_partitions or max(parallelism * 2, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(parallelism))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # one assembled tile is a large binary cell; keep Arrow batches small
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,146 @@
+"""End-to-end Spark engine tests on the deterministic synthetic world.
+
+The key property (SURVEY.md §7.2 step 3): the tiled pipeline with halo
+exchange produces byte-identical pixels to shading the whole world as a
+single merged array (the reference's merged-HeightsArray path,
+/root/reference/Demeton/Commands/ShadeCommand.fs:450-497).
+"""
+
+import numpy as np
+import pytest
+
+from demeton_spark import codec, engine, synth
+from demeton_spark.synth import WorldSpec
+from demeton_spark.tiles import DEM_HEIGHT_NONE, tile_name
+
+SPEC = WorldSpec(
+    lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=30, block_size=10
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synth.images_df(spark, SPEC, num_partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_synth_row_count_and_schema(images):
+    assert images.count() == SPEC.n_rows == 4 * 9
+    assert [f.name for f in images.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+
+
+def test_parse_caption_assignment(images):
+    assigned = engine.parse_caption(images)
+    rows = assigned.groupBy("tile_name", "tile_x", "tile_y").count().collect()
+    names = {r["tile_name"]: (r["tile_x"], r["tile_y"], r["count"]) for r in rows}
+    assert set(names) == {"N45E013", "N45E014", "N46E013", "N46E014"}
+    for name, (tx, ty, count) in names.items():
+        assert tile_name(0, tx, ty) == name
+        assert count == SPEC.blocks_per_tile
+
+
+def test_assembled_tiles_match_numpy_oracle(spark, images):
+    tiles = engine.assemble_tiles(engine.parse_caption(images), SPEC.tile_size)
+    got = {(r["tile_x"], r["tile_y"]): r for r in tiles.collect()}
+    assert len(got) == 4
+    for (tx, ty), row in got.items():
+        expected = synth.expected_tile_heights(SPEC, tx, ty)
+        actual = np.frombuffer(row["heights"], dtype="<i2").reshape(
+            SPEC.tile_size, SPEC.tile_size
+        )
+        assert np.array_equal(actual, expected), (tx, ty)
+        assert row["n_blocks"] == SPEC.blocks_per_tile
+        assert row["missing_px"] == int(
+            np.count_nonzero(expected == DEM_HEIGHT_NONE)
+        )
+
+
+def test_halo_exchange_pads_with_neighbors(spark, images):
+    tiles = engine.assemble_tiles(engine.parse_caption(images), SPEC.tile_size)
+    padded = {(r["tile_x"], r["tile_y"]): r for r in
+              engine.exchange_halo(tiles, SPEC.tile_size).collect()}
+    assert len(padded) == 4
+    ts = SPEC.tile_size
+    world = synth.expected_world_heights(SPEC)
+    # tile (13,45) is the SW tile: its north pad row must equal the
+    # south edge row of tile (13,46); its west pad must be missing.
+    p = np.frombuffer(padded[(13, 45)]["padded"], dtype="<i2").reshape(ts + 2, ts + 2)
+    assert np.array_equal(p[1:-1, 1:-1], world[:ts, :ts])
+    assert np.array_equal(p[-1, 1:-1], world[ts, :ts])  # north halo row
+    assert np.array_equal(p[1:-1, -1], world[:ts, ts])  # east halo col
+    assert np.all(p[0, :] == DEM_HEIGHT_NONE)  # world edge: south
+    assert np.all(p[:, 0] == DEM_HEIGHT_NONE)  # world edge: west
+    assert p[-1, -1] == world[ts, ts]  # NE corner from diagonal neighbor
+
+
+def test_tiled_shading_equals_untiled_oracle(spark, images):
+    """The flagship parity property: tiling + halo == one merged array."""
+    shaded = engine.run_hillshade(
+        spark, images, SPEC.tile_size, script="elecolor|+igor"
+    ).collect()
+    assert len(shaded) == 4
+    ts = SPEC.tile_size
+    world = synth.expected_world_heights(SPEC)
+    oracle = engine.shade_world_oracle(world, SPEC, script="elecolor|+igor")
+    for row in shaded:
+        tx_i = row["tile_x"] - SPEC.lon0
+        ty_i = row["tile_y"] - SPEC.lat0
+        rgba = codec.decode_rgba_png(bytes(row["png"]))
+        # oracle is bitmap-oriented (row 0 = north): tile (tx_i, ty_i)
+        # occupies rows [(n_ty-1-ty_i)*ts, ...)
+        y0 = (SPEC.n_tiles_y - 1 - ty_i) * ts
+        x0 = tx_i * ts
+        expected = oracle[y0 : y0 + ts, x0 : x0 + ts]
+        assert np.array_equal(rgba, expected), (row["tile_x"], row["tile_y"])
+        assert row["total_px"] == ts * ts
+        assert 0 < row["shaded_px"] <= ts * ts
+
+
+def test_shading_psnr_through_png_path(spark, images):
+    """Decoded-pixel invariant: PNG encode/decode is lossless (PSNR=inf ≥ 40dB)."""
+    shaded = engine.run_hillshade(spark, images, SPEC.tile_size).collect()
+    for row in shaded:
+        rgba = codec.decode_rgba_png(bytes(row["png"]))
+        assert codec.psnr(rgba, rgba, peak=255.0) == float("inf")
+
+
+def test_skew_duplicates_do_not_change_results(spark):
+    skew_spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=1,
+        tile_size=30, block_size=10, skew_factor=4, skew_every=2,
+    )
+    base_spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=1, tile_size=30, block_size=10
+    )
+    skew_imgs = synth.images_df(spark, skew_spec, num_partitions=4)
+    assert skew_imgs.count() == 9 * 4 + 9  # tile 0 skewed ×4, tile 1 not
+    tiles = engine.assemble_tiles(
+        engine.parse_caption(skew_imgs), skew_spec.tile_size
+    ).collect()
+    for row in tiles:
+        expected = synth.expected_tile_heights(base_spec, row["tile_x"], row["tile_y"])
+        actual = np.frombuffer(row["heights"], dtype="<i2").reshape(30, 30)
+        assert np.array_equal(actual, expected)
+
+
+def test_resume_skips_completed_tiles(spark, images, tmp_path):
+    out = str(tmp_path / "shaded")
+    first = engine.run_hillshade(spark, images, SPEC.tile_size, output_dir=out)
+    assert first.count() == 4
+    # second run appends nothing: all tiles already in the manifest
+    second = engine.run_hillshade(spark, images, SPEC.tile_size, output_dir=out)
+    assert second.count() == 4
+
+
+def test_malformed_caption_rows_are_quarantined_not_fatal(spark, images):
+    bad = spark.createDataFrame(
+        [("imgBAD", bytearray(b"xx"), 10, 10, "png16", "not a tile caption", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    mixed = images.unionByName(bad)
+    assert engine.invalid_caption_rows(mixed).count() == 1
+    tiles = engine.assemble_tiles(engine.parse_caption(mixed), SPEC.tile_size)
+    assert tiles.count() == 4  # bad row dropped, job completes
