@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial query on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline extras); ``oracle_sql()`` gives the DuckDB
+twin for each SQL-expressible query.  Engine-kernel queries (hillshade,
+pyramid downsample) are rows-only — their correctness gates live in
+``tests/`` against numpy oracles and the reference's golden constants.
 """
 
 from __future__ import annotations
@@ -13,26 +14,56 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from demeton_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point→tile spatial assignment joined with broadcast tile
+    metadata over the sf0.001 tables (J1 + J6 + A5)."""
+    from demeton_spark.queries import q_tile_metadata_join
+
+    return q_tile_metadata_join(spark, "/root/testdata/sf0.001")
+
+
+def _q_hillshade_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hillshade over the deterministic synthetic image table
+    (rows-only check; pixel parity is pinned in tests/test_engine_spark.py)."""
+    from demeton_spark.engine import run_hillshade
+    from demeton_spark.synth import WorldSpec, images_df
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60, block_size=20
+    )
+    shaded = run_hillshade(
+        spark, images_df(spark, spec), spec.tile_size, script="elecolor|+igor"
+    )
+    return shaded.select(
+        "tile_x", "tile_y", "tile_name", "width", "height", "shaded_px", "total_px"
+    )
+
+
+def _q_pyramid_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-0 → level-1 pyramid build (J7 join + A1 kernel), rows-only."""
+    from demeton_spark.engine import assemble_tiles, parse_caption
+    from demeton_spark.pyramid import build_pyramid_level
+    from demeton_spark.synth import WorldSpec, images_df
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60, block_size=20
+    )
+    tiles0 = assemble_tiles(
+        parse_caption(images_df(spark, spec)), spec.tile_size
+    )
+    lvl1 = build_pyramid_level(tiles0, spec.tile_size, level=1)
+    return lvl1.select("level", "tile_x", "tile_y", "missing_px", "height_sum")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    out["hillshade_tiles"] = _q_hillshade_tiles
+    out["pyramid_downsample"] = _q_pyramid_downsample
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

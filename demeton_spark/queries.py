@@ -1,0 +1,871 @@
+"""Driver-contract query catalog: every relational/spatial operator from
+SURVEY.md §2 surfaced as a named query with a DuckDB-checkable oracle.
+
+Each entry pairs an idiomatic-Spark DataFrame builder (``(spark, sf_dir)
+-> DataFrame``) with an equivalent ANSI-SQL string for DuckDB.  Column
+names and types are aligned on both sides (the driver hashes values
+after sorting columns by name): aggregates go through exact decimal
+arithmetic before a final cast to double, counts are bigint, and
+floating expressions are rounded where accumulation order could differ.
+
+Operator coverage map (SURVEY.md §2):
+  J1  tile cover / assignment      → tile_assign_events, bbox_cover
+  J6  broadcast tile-metadata join → tile_metadata_join
+  J7  pyramid parent↔children join → pyramid_parents
+  A5  value histogram              → value_histogram
+  A6  MBR aggregate                → tile_mbr
+  sorts/limits                     → top_revenue_orders
+  hash agg / joins                 → pricing_summary, region_rollup
+  SQL windows (engine extras)      → events_top_event, events_sessionize
+  dedup family                     → doc_exact_dedup, doc_minhash,
+                                     doc_near_dup_pairs, doc_simhash
+  text analysis                    → doc_token_stats, doc_lang_quality
+  similarity search                → knn_bruteforce, embedding_label_stats
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tiles import tile_name_sql
+
+SRTM_TS = 3600  # level-0 cells per degree
+
+# Tutorial bbox (reference docs/Tutorial.md:28) used for the cover query
+BBOX = (13.49437, 46.159668, 14.236633, 46.543914)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic lon/lat derivation shared by Spark + DuckDB
+# (events carry no geo columns; derive off-boundary coords from ids)
+# ---------------------------------------------------------------------------
+
+_PTS_SQL = (
+    "select event_id, user_id, event_type, value, "
+    "-179.5 + (event_id % 359) as lon, -89.5 + (user_id % 179) as lat "
+    "from events"
+)
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.lit(-179.5) + (F.col("event_id") % 359)).alias("lon"),
+        (F.lit(-89.5) + (F.col("user_id") % 179)).alias("lat"),
+    )
+
+
+# --- J1: point → tile assignment -------------------------------------------
+
+def q_tile_assign_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts(spark, sf_dir)
+    tx = F.floor(F.col("lon")).cast("int")
+    ty = F.floor(F.col("lat")).cast("int")
+    lat_sign = F.when(ty >= 0, F.lit("N")).otherwise(F.lit("S"))
+    lon_sign = F.when(tx >= 0, F.lit("E")).otherwise(F.lit("W"))
+    name = F.concat(
+        lat_sign,
+        F.lpad(F.abs(ty).cast("string"), 2, "0"),
+        lon_sign,
+        F.lpad(F.abs(tx).cast("string"), 3, "0"),
+    )
+    return (
+        pts.select(tx.alias("tile_x"), ty.alias("tile_y"), name.alias("tile_name"))
+        .groupBy("tile_x", "tile_y", "tile_name")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+SQL_TILE_ASSIGN_EVENTS = f"""
+with pts as ({_PTS_SQL})
+select cast(floor(lon) as int) as tile_x,
+       cast(floor(lat) as int) as tile_y,
+       {tile_name_sql('cast(floor(lon) as int)', 'cast(floor(lat) as int)')} as tile_name,
+       cast(count(*) as bigint) as n_events
+from pts
+group by 1, 2, 3
+"""
+
+
+# --- J1: bbox → covering tiles (the ceil-1 rule) ----------------------------
+
+def q_bbox_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    min_lon, min_lat, max_lon, max_lat = BBOX
+    levels = spark.range(0, 3).select(F.col("id").cast("int").alias("level"))
+    size = F.pow(F.lit(2.0), F.col("level"))
+    min_tx = F.floor(F.lit(min_lon) / size).cast("int")
+    max_tx = (F.ceil(F.lit(max_lon) / size) - 1).cast("int")
+    min_ty = F.floor(F.lit(min_lat) / size).cast("int")
+    max_ty = (F.ceil(F.lit(max_lat) / size) - 1).cast("int")
+    df = (
+        levels.withColumn("tile_x", F.explode(F.sequence(min_tx, max_tx)))
+        .withColumn("tile_y", F.explode(F.sequence(min_ty, max_ty)))
+    )
+    from .tiles import tile_name_col
+
+    return df.select(
+        "level",
+        "tile_x",
+        "tile_y",
+        tile_name_col(F.col("level"), F.col("tile_x"), F.col("tile_y")).alias(
+            "tile_name"
+        ),
+    )
+
+
+SQL_BBOX_COVER = f"""
+with levels as (select unnest(generate_series(0, 2)) as level),
+cover as (
+  select cast(level as int) as level,
+         cast(tx.tile_x as int) as tile_x,
+         cast(ty.tile_y as int) as tile_y
+  from levels,
+  lateral (select unnest(generate_series(
+      cast(floor({BBOX[0]} / power(2, level)) as bigint),
+      cast(ceil({BBOX[2]} / power(2, level)) as bigint) - 1)) as tile_x) tx,
+  lateral (select unnest(generate_series(
+      cast(floor({BBOX[1]} / power(2, level)) as bigint),
+      cast(ceil({BBOX[3]} / power(2, level)) as bigint) - 1)) as tile_y) ty
+)
+select level, tile_x, tile_y,
+  case when level = 0 then {tile_name_sql('tile_x', 'tile_y')}
+  else concat('l', cast(level as varchar),
+              case when tile_x >= 0 then 'e' else 'w' end,
+              lpad(cast(abs(tile_x) as varchar), 2, '0'),
+              case when tile_y >= 0 then 'n' else 's' end,
+              lpad(cast(abs(tile_y) as varchar), 2, '0'))
+  end as tile_name
+from cover
+"""
+
+
+# --- J7: pyramid parent keys -------------------------------------------------
+
+def q_pyramid_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q_tile_assign_events(spark, sf_dir).select("tile_x", "tile_y").distinct()
+    out = None
+    for level in (1, 2, 3):
+        factor = float(1 << level)
+        lvl = base.select(
+            F.lit(level).cast("int").alias("level"),
+            F.floor(F.col("tile_x") / factor).cast("int").alias("tile_x"),
+            F.floor(F.col("tile_y") / factor).cast("int").alias("tile_y"),
+        ).groupBy("level", "tile_x", "tile_y").agg(
+            F.count("*").alias("n_children")
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
+SQL_PYRAMID_PARENTS = f"""
+with pts as ({_PTS_SQL}),
+t0 as (select distinct cast(floor(lon) as int) as tile_x,
+                       cast(floor(lat) as int) as tile_y from pts),
+lv as (select unnest([1, 2, 3]) as level)
+select cast(level as int) as level,
+       cast(floor(tile_x / power(2, level)) as int) as tile_x,
+       cast(floor(tile_y / power(2, level)) as int) as tile_y,
+       cast(count(*) as bigint) as n_children
+from lv, t0
+group by 1, 2, 3
+"""
+
+
+# --- A6: MBR aggregate over global cell coords ------------------------------
+
+def q_tile_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts(spark, sf_dir)
+    cell_x = F.floor(F.col("lon") * SRTM_TS).cast("bigint")
+    cell_y = F.floor(F.col("lat") * SRTM_TS).cast("bigint")
+    return (
+        pts.select(
+            F.floor(F.col("lon")).cast("int").alias("tile_x"),
+            F.floor(F.col("lat")).cast("int").alias("tile_y"),
+            cell_x.alias("cell_x"),
+            cell_y.alias("cell_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.min("cell_x").alias("min_cell_x"),
+            F.min("cell_y").alias("min_cell_y"),
+            F.max("cell_x").alias("max_cell_x"),
+            F.max("cell_y").alias("max_cell_y"),
+        )
+    )
+
+
+SQL_TILE_MBR = f"""
+with pts as ({_PTS_SQL})
+select cast(floor(lon) as int) as tile_x,
+       cast(floor(lat) as int) as tile_y,
+       cast(min(floor(lon * {SRTM_TS})) as bigint) as min_cell_x,
+       cast(min(floor(lat * {SRTM_TS})) as bigint) as min_cell_y,
+       cast(max(floor(lon * {SRTM_TS})) as bigint) as max_cell_x,
+       cast(max(floor(lat * {SRTM_TS})) as bigint) as max_cell_y
+from pts
+group by 1, 2
+"""
+
+
+# --- A5: value histogram ------------------------------------------------------
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10.0).cast("int")
+    return ev.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+SQL_VALUE_HISTOGRAM = """
+select cast(floor(value / 10.0) as int) as bucket,
+       cast(count(*) as bigint) as n
+from events group by 1
+"""
+
+
+# --- J6: broadcast tile-metadata join ----------------------------------------
+
+def q_tile_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = q_tile_assign_events(spark, sf_dir)
+    dim = (
+        spark.range(-180, 180)
+        .select(F.col("id").cast("int").alias("tile_x"))
+        .crossJoin(
+            spark.range(-90, 90).select(F.col("id").cast("int").alias("tile_y"))
+        )
+        .select(
+            "tile_x",
+            "tile_y",
+            F.col("tile_x").cast("double").alias("min_lon"),
+            F.col("tile_y").cast("double").alias("min_lat"),
+            (F.col("tile_x") * SRTM_TS).cast("bigint").alias("min_cell_x"),
+            (F.col("tile_y") * SRTM_TS).cast("bigint").alias("min_cell_y"),
+        )
+    )
+    return assigned.join(F.broadcast(dim), on=["tile_x", "tile_y"], how="inner").select(
+        "tile_x", "tile_y", "tile_name", "n_events",
+        "min_lon", "min_lat", "min_cell_x", "min_cell_y",
+    )
+
+
+SQL_TILE_METADATA_JOIN = f"""
+with pts as ({_PTS_SQL}),
+assigned as (
+  select cast(floor(lon) as int) as tile_x,
+         cast(floor(lat) as int) as tile_y,
+         {tile_name_sql('cast(floor(lon) as int)', 'cast(floor(lat) as int)')} as tile_name,
+         cast(count(*) as bigint) as n_events
+  from pts group by 1, 2, 3
+),
+dim as (
+  select cast(x.tile_x as int) as tile_x, cast(y.tile_y as int) as tile_y,
+         cast(x.tile_x as double) as min_lon, cast(y.tile_y as double) as min_lat,
+         cast(x.tile_x * {SRTM_TS} as bigint) as min_cell_x,
+         cast(y.tile_y * {SRTM_TS} as bigint) as min_cell_y
+  from (select unnest(generate_series(-180, 179)) as tile_x) x,
+       (select unnest(generate_series(-90, 89)) as tile_y) y
+)
+select a.tile_x, a.tile_y, a.tile_name, a.n_events,
+       d.min_lon, d.min_lat, d.min_cell_x, d.min_cell_y
+from assigned a join dim d on a.tile_x = d.tile_x and a.tile_y = d.tile_y
+"""
+
+
+# --- TPC-H-style relational ---------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+select l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) *
+           (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double)
+    as sum_disc_price,
+  cast(count(*) as bigint) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-01'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+select o_orderkey, o_orderpriority,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) *
+           (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double)
+    as revenue
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on o_orderkey = l_orderkey
+where c_mktsegment = 'BUILDING'
+group by o_orderkey, o_orderpriority
+order by revenue desc, o_orderkey asc
+limit 10
+"""
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_REGION_ROLLUP = """
+select r_name, n_name,
+  cast(count(*) as bigint) as n_orders,
+  cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_price
+from region
+join nation on r_regionkey = n_regionkey
+join customer on n_nationkey = c_nationkey
+join orders on c_custkey = o_custkey
+group by r_name, n_name
+"""
+
+
+# --- SQL windows over events (engine extras, SURVEY.md §2.5) ------------------
+
+def q_events_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+        )
+    )
+
+
+SQL_EVENTS_TOP_EVENT = """
+select user_id, event_id as first_event_id, event_type as first_event_type
+from (
+  select user_id, event_id, event_type,
+         row_number() over (partition by user_id order by ts asc, event_id asc) as rn
+  from events
+) t where rn = 1
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (watermark/session-window analogue)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # ts is TIMESTAMP_NTZ in the parquet; session tz is pinned to UTC
+        # (session.py) so this cast matches DuckDB's naive epoch_us()
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    gap = F.col("ts_us") - F.lag("ts_us", 1).over(w)
+    new_session = F.when(gap.isNull() | (gap > 3_600_000_000), 1).otherwise(0)
+    sessions = ev.withColumn("new_s", new_session).withColumn(
+        "session_id", F.sum("new_s").over(w)
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+with ev as (
+  select user_id, event_id, epoch_us(ts) as ts_us from events
+),
+flagged as (
+  select user_id, event_id, ts_us,
+    case when lag(ts_us) over w is null
+           or ts_us - lag(ts_us) over w > 3600000000 then 1 else 0 end as new_s
+  from ev
+  window w as (partition by user_id order by ts_us asc, event_id asc)
+),
+sess as (
+  select user_id,
+         sum(new_s) over (partition by user_id order by ts_us asc, event_id asc
+                          rows unbounded preceding) as session_id
+  from flagged
+)
+select user_id, cast(max(session_id) as bigint) as n_sessions,
+       cast(count(*) as bigint) as n_events
+from sess group by user_id
+"""
+
+
+# --- dedup + text analysis over documents -------------------------------------
+
+def _words(col: str = "text"):
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+SQL_DOC_EXACT_DEDUP = """
+select md5(text) as text_hash,
+       cast(count(*) as bigint) as n_copies,
+       cast(min(doc_id) as bigint) as canonical_doc
+from documents
+group by 1
+"""
+
+_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = _words()
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop = F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
+    subtokens = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        subtokens.cast("bigint").alias("n_subtokens"),
+        F.round(stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+with w as (
+  select doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') as words
+  from documents
+)
+select cast(doc_id as bigint) as doc_id,
+  cast(length(text) as bigint) as n_chars,
+  cast(len(words) as bigint) as n_tokens,
+  cast(len(list_distinct(words)) as bigint) as n_distinct_tokens,
+  cast(len(regexp_extract_all(text, '[a-z0-9]+')) as bigint) as n_subtokens,
+  round(cast(len(list_filter(words, x -> x in {_STOPWORDS!r})) as double)
+        / len(words), 6) as stopword_ratio
+from w
+"""
+
+
+def q_doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language id + quality score (lexical diversity bands)."""
+    stats = q_doc_token_stats(spark, sf_dir)
+    quality = F.round(
+        F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"), 6
+    )
+    lang_guess = F.when(F.col("stopword_ratio") >= 0.05, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+    return stats.select(
+        "doc_id",
+        quality.alias("quality"),
+        lang_guess.alias("lang_guess"),
+        (F.col("n_chars") >= 100).cast("boolean").alias("long_enough"),
+    )
+
+
+SQL_DOC_LANG_QUALITY = f"""
+with w as (
+  select doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') as words
+  from documents
+),
+stats as (
+  select doc_id,
+    length(text) as n_chars,
+    len(words) as n_tokens,
+    len(list_distinct(words)) as n_distinct_tokens,
+    round(cast(len(list_filter(words, x -> x in {_STOPWORDS!r})) as double)
+          / len(words), 6) as stopword_ratio
+  from w
+)
+select cast(doc_id as bigint) as doc_id,
+  round(cast(n_distinct_tokens as double) / n_tokens, 6) as quality,
+  case when stopword_ratio >= 0.05 then 'en' else 'unknown' end as lang_guess,
+  n_chars >= 100 as long_enough
+from stats
+"""
+
+_MINHASH_K = 4
+
+
+def _word_hash(word_col, salt: int):
+    """Shared md5-based word hash: first 8 hex chars of md5('{w}#{salt}')."""
+    return F.conv(
+        F.substring(F.md5(F.concat(word_col, F.lit(f"#{salt}"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array_distinct(_words())
+    def hasher(salt: int):
+        # single-parameter lambda: a 2-arg lambda would be interpreted by
+        # pyspark as an (element, index) transform and hash the wrong salt
+        return lambda w: _word_hash(w, salt)
+
+    cols = [F.col("doc_id").cast("bigint").alias("doc_id")]
+    for k in range(_MINHASH_K):
+        cols.append(F.array_min(F.transform(words, hasher(k))).alias(f"mh{k}"))
+    return docs.select(*cols)
+
+
+def _sql_word_hash(expr: str, salt: int) -> str:
+    return f"cast(('0x' || substr(md5({expr} || '#{salt}'), 1, 8)) as bigint)"
+
+
+SQL_DOC_MINHASH = f"""
+with w as (
+  select doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) as words
+  from documents
+)
+select cast(doc_id as bigint) as doc_id,
+  {", ".join(
+    f"list_aggregate(list_transform(words, x -> {_sql_word_hash('x', k)}), 'min') as mh{k}"
+    for k in range(_MINHASH_K)
+  )}
+from w
+"""
+
+
+def q_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact word-set Jaccard.
+
+    Band = the full 4-hash signature (docs drawn from a narrow synthetic
+    vocabulary collide often; the Jaccard filter keeps real near-dups).
+    """
+    mh = q_doc_minhash(spark, sf_dir)
+    band_cols = [f"mh{k}" for k in range(_MINHASH_K)]
+    pairs = (
+        mh.alias("a")
+        .join(mh.alias("b"), on=band_cols, how="inner")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.array_distinct(_words()).alias("words"),
+    )
+    joined = (
+        pairs.join(docs.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(docs.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("da.words"), F.col("db.words"))).alias("i"),
+            F.size(F.col("da.words")).alias("na"),
+            F.size(F.col("db.words")).alias("nb"),
+        )
+    )
+    jaccard = F.round(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+    )
+    return (
+        joined.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_DOC_NEAR_DUP_PAIRS = f"""
+with w as (
+  select cast(doc_id as bigint) as doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) as words
+  from documents
+),
+mh as (
+  select doc_id, words,
+  {", ".join(
+    f"list_aggregate(list_transform(words, x -> {_sql_word_hash('x', k)}), 'min') as mh{k}"
+    for k in range(_MINHASH_K)
+  )}
+  from w
+),
+pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, a.words as wa, b.words as wb
+  from mh a join mh b
+    on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.mh2 = b.mh2 and a.mh3 = b.mh3
+  where a.doc_id < b.doc_id
+)
+select doc_a, doc_b,
+  round(cast(len(list_intersect(wa, wb)) as double)
+        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) as jaccard
+from pairs
+where round(cast(len(list_intersect(wa, wb)) as double)
+        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) >= 0.5
+"""
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint from md5-derived word hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    words = _words()  # keep duplicates: simhash weights by frequency
+    exploded = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(words).alias("word"),
+    ).select("doc_id", _word_hash(F.col("word"), 0).alias("h"))
+    bits = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*bits)
+    fingerprint = None
+    for b in range(16):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+SQL_DOC_SIMHASH = f"""
+with exploded as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(string_split(text, ' '), y -> y <> '')) as word
+  from documents
+),
+e as (
+  select doc_id, {_sql_word_hash('word', 0)} as h from exploded
+),
+bits as (
+  select doc_id,
+  {", ".join(
+    f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as b{b}"
+    for b in range(16)
+  )}
+  from e group by doc_id
+)
+select doc_id,
+  cast({" + ".join(f"case when b{b} > 0 then {1 << b} else 0 end" for b in range(16))}
+    as bigint) as simhash
+from bits
+"""
+
+
+# --- similarity search over embeddings -----------------------------------------
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for probe vectors (vec_id < 5).
+
+    Dot products in double via zip_with + aggregate (JVM-side higher-order
+    functions — no Python in the loop); rounded before ranking so the
+    DuckDB oracle agrees bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    with_norm = emb.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    probes = with_norm.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        probes.crossJoin(with_norm.select("vec_id", "v", "norm"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+SQL_KNN_BRUTEFORCE = """
+with emb as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+),
+normed as (
+  select vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) as norm
+  from emb
+),
+scored as (
+  select q.vec_id as query_id, n.vec_id as neighbor_id,
+    round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) as cosine
+  from normed q, normed n
+  where q.vec_id < 5 and n.vec_id <> q.vec_id
+),
+ranked as (
+  select query_id, neighbor_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from ranked where rank <= 3
+"""
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("int").alias("label"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.select("label", F.round(norm, 6).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+with emb as (
+  select cast(label as int) as label,
+         round(sqrt(list_aggregate(
+             list_transform(list_transform(embedding, x -> cast(x as double)),
+                            x -> x * x), 'sum')), 6) as norm
+  from embeddings
+)
+select label, cast(count(*) as bigint) as n_vectors,
+       round(avg(norm), 4) as avg_norm
+from emb group by label
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "tile_assign_events": q_tile_assign_events,
+    "bbox_cover": q_bbox_cover,
+    "pyramid_parents": q_pyramid_parents,
+    "tile_mbr": q_tile_mbr,
+    "value_histogram": q_value_histogram,
+    "tile_metadata_join": q_tile_metadata_join,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_rollup": q_region_rollup,
+    "events_top_event": q_events_top_event,
+    "events_sessionize": q_events_sessionize,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_lang_quality": q_doc_lang_quality,
+    "doc_minhash": q_doc_minhash,
+    "doc_near_dup_pairs": q_doc_near_dup_pairs,
+    "doc_simhash": q_doc_simhash,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_label_stats": q_embedding_label_stats,
+}
+
+ORACLES = {
+    "tile_assign_events": SQL_TILE_ASSIGN_EVENTS,
+    "bbox_cover": SQL_BBOX_COVER,
+    "pyramid_parents": SQL_PYRAMID_PARENTS,
+    "tile_mbr": SQL_TILE_MBR,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "tile_metadata_join": SQL_TILE_METADATA_JOIN,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "region_rollup": SQL_REGION_ROLLUP,
+    "events_top_event": SQL_EVENTS_TOP_EVENT,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_lang_quality": SQL_DOC_LANG_QUALITY,
+    "doc_minhash": SQL_DOC_MINHASH,
+    "doc_near_dup_pairs": SQL_DOC_NEAR_DUP_PAIRS,
+    "doc_simhash": SQL_DOC_SIMHASH,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+}
