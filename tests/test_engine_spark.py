@@ -144,3 +144,24 @@ def test_malformed_caption_rows_are_quarantined_not_fatal(spark, images):
     assert engine.invalid_caption_rows(mixed).count() == 1
     tiles = engine.assemble_tiles(engine.parse_caption(mixed), SPEC.tile_size)
     assert tiles.count() == 4  # bad row dropped, job completes
+
+
+def test_resume_preserves_halo_correctness(spark, images, tmp_path):
+    """Tiles shaded on resume must still see completed neighbors' strips."""
+    out = str(tmp_path / "resume_halo")
+    # first pass: shade ONLY tile (13,45) by filtering input blocks
+    sw_only = images.where(images.caption.contains("N45E013"))
+    engine.run_hillshade(spark, sw_only, SPEC.tile_size, output_dir=out)
+    # resume with the full input: remaining 3 tiles get shaded
+    result = engine.run_hillshade(spark, images, SPEC.tile_size, output_dir=out)
+    rows = {(r["tile_x"], r["tile_y"]): r for r in result.collect()}
+    assert len(rows) == 4
+    world = synth.expected_world_heights(SPEC)
+    oracle = engine.shade_world_oracle(world, SPEC)
+    ts = SPEC.tile_size
+    # tile (14,45) borders the pre-completed (13,45); its west-edge pixels
+    # must match the untiled oracle (i.e. the halo strip arrived)
+    r = rows[(14, 45)]
+    rgba = codec.decode_rgba_png(bytes(r["png"]))
+    y0 = (SPEC.n_tiles_y - 1 - 0) * ts
+    assert np.array_equal(rgba, oracle[y0 : y0 + ts, ts : 2 * ts])
