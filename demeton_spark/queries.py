@@ -594,63 +594,87 @@ from w
 """
 
 
+def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature + hashed word-set.
+
+    The word set is hashed once to a sorted distinct int array (``hwords``)
+    so the LSH self-join carries cheap int arrays instead of strings and
+    the exact-Jaccard verification intersects ints.  ``mh0`` is the min of
+    ``hwords`` (salt 0); higher salts rehash the string words.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array_distinct(_words())
+
+    def hasher(salt: int):
+        # single-parameter lambda: a 2-arg lambda would be interpreted by
+        # pyspark as an (element, index) transform and hash the wrong salt
+        return lambda w: _word_hash(w, salt)
+
+    hwords = F.array_sort(F.array_distinct(F.transform(words, hasher(0))))
+    cols = [
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        hwords.alias("hwords"),
+    ]
+    for k in range(_MINHASH_K):
+        cols.append(F.array_min(F.transform(words, hasher(k))).alias(f"mh{k}"))
+    return docs.select(*cols)
+
+
 def q_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by exact word-set Jaccard.
+    """MinHash-LSH candidate pairs verified by exact Jaccard on hashed
+    word sets.
 
     Band = the full 4-hash signature (docs drawn from a narrow synthetic
     vocabulary collide often; the Jaccard filter keeps real near-dups).
+    The hashed word-set arrays ride through the band self-join so the
+    verification needs no second join against the documents table; for
+    duplicate-heavy corpora where even the verified output is quadratic,
+    the linear-output form of this operator is ``doc_dedup_clusters``.
     """
-    mh = q_doc_minhash(spark, sf_dir)
+    sig = _doc_signatures(spark, sf_dir)
     band_cols = [f"mh{k}" for k in range(_MINHASH_K)]
     pairs = (
-        mh.alias("a")
-        .join(mh.alias("b"), on=band_cols, how="inner")
+        sig.alias("a")
+        .join(sig.alias("b"), on=band_cols, how="inner")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.array_distinct(_words()).alias("words"),
-    )
-    joined = (
-        pairs.join(docs.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
-        .join(docs.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect(F.col("da.words"), F.col("db.words"))).alias("i"),
-            F.size(F.col("da.words")).alias("na"),
-            F.size(F.col("db.words")).alias("nb"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect(F.col("a.hwords"), F.col("b.hwords"))).alias("i"),
+            F.size(F.col("a.hwords")).alias("na"),
+            F.size(F.col("b.hwords")).alias("nb"),
         )
     )
     jaccard = F.round(
         F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
     )
     return (
-        joined.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
 
 
-SQL_DOC_NEAR_DUP_PAIRS = f"""
-with w as (
+_SQL_DOC_SIGNATURES = f"""
+w as (
   select cast(doc_id as bigint) as doc_id,
          list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) as words
   from documents
 ),
-mh as (
-  select doc_id, words,
+sig as (
+  select doc_id,
+  list_sort(list_distinct(list_transform(words, x -> {_sql_word_hash('x', 0)}))) as hwords,
   {", ".join(
     f"list_aggregate(list_transform(words, x -> {_sql_word_hash('x', k)}), 'min') as mh{k}"
     for k in range(_MINHASH_K)
   )}
   from w
-),
+)"""
+
+SQL_DOC_NEAR_DUP_PAIRS = f"""
+with {_SQL_DOC_SIGNATURES},
 pairs as (
-  select a.doc_id as doc_a, b.doc_id as doc_b, a.words as wa, b.words as wb
-  from mh a join mh b
+  select a.doc_id as doc_a, b.doc_id as doc_b, a.hwords as wa, b.hwords as wb
+  from sig a join sig b
     on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.mh2 = b.mh2 and a.mh3 = b.mh3
   where a.doc_id < b.doc_id
 )
@@ -660,6 +684,78 @@ select doc_a, doc_b,
 from pairs
 where round(cast(len(list_intersect(wa, wb)) as double)
         / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) >= 0.5
+"""
+
+
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the near-dup graph (jaccard >= 0.5):
+    every doc labeled with the min doc_id of its component.
+
+    The linear-output companion of ``doc_near_dup_pairs``: on
+    duplicate-heavy corpora the pair list is quadratic but the cluster
+    assignment stays one row per doc.  Iterative min-label propagation
+    (driver loop over joins, ``localCheckpoint`` per round to cut
+    lineage) — the Spark shape of the reference's flood-fill component
+    labeling (/root/reference/Demeton/WaterBodies/Coloring.fs:17-182),
+    applied to a similarity graph instead of a pixel grid.
+    """
+    pairs = q_doc_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc")
+    )
+    labels = docs.select("doc", F.col("doc").alias("label")).localCheckpoint()
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc == nbr_min.doc_a, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("chg")).count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+SQL_DOC_DEDUP_CLUSTERS = f"""
+with recursive {_SQL_DOC_SIGNATURES},
+pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sig a join sig b
+    on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.mh2 = b.mh2 and a.mh3 = b.mh3
+  where a.doc_id < b.doc_id
+    and round(cast(len(list_intersect(a.hwords, b.hwords)) as double)
+        / (len(a.hwords) + len(b.hwords)
+           - len(list_intersect(a.hwords, b.hwords))), 6) >= 0.5
+),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union all
+  select doc_b as a, doc_a as b from pairs
+),
+reach(doc, root) as (
+  select doc_id, doc_id from w
+  union
+  select e.b, r.root from reach r join edges e on e.a = r.doc
+)
+select doc as doc_id, cast(min(root) as bigint) as cluster_id
+from reach group by doc
 """
 
 
@@ -843,6 +939,7 @@ QUERIES = {
     "doc_lang_quality": q_doc_lang_quality,
     "doc_minhash": q_doc_minhash,
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_label_stats": q_embedding_label_stats,
@@ -865,6 +962,7 @@ ORACLES = {
     "doc_lang_quality": SQL_DOC_LANG_QUALITY,
     "doc_minhash": SQL_DOC_MINHASH,
     "doc_near_dup_pairs": SQL_DOC_NEAR_DUP_PAIRS,
+    "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_simhash": SQL_DOC_SIMHASH,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
