@@ -53,7 +53,9 @@ HEADLINE_QUERIES = [
     "doc_minhash",
     "doc_near_dup_pairs",
     "doc_token_stats",
+    "doc_ngram_near_dup",
     "knn_bruteforce",
+    "knn_ivf_bucketed",
 ]
 
 

@@ -18,9 +18,13 @@ Operator coverage map (SURVEY.md §2):
   hash agg / joins                 → pricing_summary, region_rollup
   SQL windows (engine extras)      → events_top_event, events_sessionize
   dedup family                     → doc_exact_dedup, doc_minhash,
-                                     doc_near_dup_pairs, doc_simhash
-  text analysis                    → doc_token_stats, doc_lang_quality
-  similarity search                → knn_bruteforce, embedding_label_stats
+                                     doc_near_dup_pairs, doc_dedup_clusters,
+                                     doc_simhash, doc_ngram_near_dup,
+                                     emb_near_dup_pairs
+  text analysis                    → doc_token_stats, doc_lang_quality,
+                                     doc_fingerprint
+  similarity search                → knn_bruteforce, knn_ivf_bucketed,
+                                     embedding_label_stats
 """
 
 from __future__ import annotations
@@ -805,6 +809,128 @@ from bits
 """
 
 
+def q_doc_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingle near-dup: shingle → minhash → band → bucket-join.
+
+    Order-sensitive companion of ``doc_near_dup_pairs`` (word-set Jaccard
+    ignores ordering; 3-gram shingles catch reorderings as non-dups).
+    Same hashed-set representation: shingles hash to ints once, the band
+    self-join carries the arrays, verification intersects ints.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "case when size(ws) < 3 then array(concat_ws(' ', ws)) else "
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) end"
+    )
+
+    def hasher(salt: int):
+        return lambda s: _word_hash(s, salt)
+
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), _words().alias("ws")
+    ).select(F.col("doc_id"), shingles.alias("sh"))
+    hs = F.array_sort(F.array_distinct(F.transform(F.col("sh"), hasher(0))))
+    cols = [F.col("doc_id"), hs.alias("hsh")]
+    for k in range(_MINHASH_K):
+        cols.append(
+            F.array_min(F.transform(F.array_distinct(F.col("sh")), hasher(k))).alias(
+                f"mh{k}"
+            )
+        )
+    sig = base.select(*cols)
+    band_cols = [f"mh{k}" for k in range(_MINHASH_K)]
+    pairs = (
+        sig.alias("a")
+        .join(sig.alias("b"), on=band_cols, how="inner")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect(F.col("a.hsh"), F.col("b.hsh"))).alias("i"),
+            F.size(F.col("a.hsh")).alias("na"),
+            F.size(F.col("b.hsh")).alias("nb"),
+        )
+    )
+    jaccard = F.round(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+    )
+    return (
+        pairs.select("doc_a", "doc_b", jaccard.alias("ngram_jaccard"))
+        .where(F.col("ngram_jaccard") >= 0.5)
+    )
+
+
+SQL_DOC_NGRAM_NEAR_DUP = f"""
+with w as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') as ws
+  from documents
+),
+sh as (
+  select doc_id,
+    case when len(ws) < 3 then [array_to_string(ws, ' ')] else
+      list_transform(generate_series(1, len(ws) - 2),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) end as sh
+  from w
+),
+sig as (
+  select doc_id,
+    list_sort(list_distinct(list_transform(sh, x -> {_sql_word_hash('x', 0)}))) as hsh,
+  {", ".join(
+    f"list_aggregate(list_transform(list_distinct(sh), x -> {_sql_word_hash('x', k)}), 'min') as mh{k}"
+    for k in range(_MINHASH_K)
+  )}
+  from sh
+),
+pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, a.hsh as wa, b.hsh as wb
+  from sig a join sig b
+    on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.mh2 = b.mh2 and a.mh3 = b.mh3
+  where a.doc_id < b.doc_id
+)
+select doc_a, doc_b,
+  round(cast(len(list_intersect(wa, wb)) as double)
+        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) as ngram_jaccard
+from pairs
+where round(cast(len(list_intersect(wa, wb)) as double)
+        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) >= 0.5
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max hash over all 8-char
+    rolling windows of the text plus window count — a compact sketch for
+    shift-tolerant exact-region matching."""
+    docs = _t(spark, sf_dir, "documents")
+    windows = F.expr(
+        "transform(sequence(1, greatest(1, length(text) - 7)), "
+        "i -> substring(text, i, 8))"
+    )
+    hashes = F.transform(windows, lambda w: _word_hash(w, 0))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(hashes).cast("bigint").alias("n_windows"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+with w as (
+  select cast(doc_id as bigint) as doc_id,
+         list_transform(generate_series(1, greatest(1, length(text) - 7)),
+                        i -> {_sql_word_hash("substr(text, i, 8)", 0)}) as hashes
+  from documents
+)
+select doc_id,
+       list_aggregate(hashes, 'min') as fp_min,
+       list_aggregate(hashes, 'max') as fp_max,
+       cast(len(hashes) as bigint) as n_windows
+from w
+"""
+
+
 # --- similarity search over embeddings -----------------------------------------
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,6 +1008,137 @@ from ranked where rank <= 3
 """
 
 
+def _dot(a, b):
+    """JVM-side dot product via zip_with + sequential fold (deterministic
+    accumulation order — matches DuckDB's list_dot_product bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _normed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.col("v")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+_SQL_NORMED_EMB = """
+normed as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as v,
+         sqrt(list_dot_product(list_transform(embedding, x -> cast(x as double)),
+                               list_transform(embedding, x -> cast(x as double)))) as norm,
+         cast({bucket} as int) as bucket
+  from embeddings
+)""".format(
+    bucket=" + ".join(
+        f"(case when embedding[{i + 1}] > 0 then {1 << i} else 0 end)"
+        for i in range(8)
+    )
+)
+
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates via random-hyperplane-style LSH:
+    vectors sharing the 8-bit sign-bucket of their leading dimensions are
+    candidates; exact cosine >= 0.4 confirms (the synthetic embeddings are near-orthogonal, so the threshold sits just under the max observed similarity).  The bucket equi-join
+    prunes the O(n²) cross product to same-bucket blocks — the scale
+    path for pairwise similarity over 10^9 embeddings."""
+    normed = _normed_emb(spark, sf_dir)
+    pairs = (
+        normed.alias("a")
+        .join(normed.alias("b"), on="bucket", how="inner")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.norm") * F.col("b.norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= 0.4)
+
+
+SQL_EMB_NEAR_DUP_PAIRS = f"""
+with {_SQL_NORMED_EMB}
+select a.vec_id as vec_a, b.vec_id as vec_b,
+       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) as cosine
+from normed a join normed b on a.bucket = b.bucket
+where a.vec_id < b.vec_id
+  and round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.4
+"""
+
+
+def q_knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the sign-bit bucket acts as the coarse quantizer;
+    each probe (vec_id < 5) scans only its own inverted list instead of
+    the full collection.  Approximate by construction (recall < 1 when
+    true neighbors land in other buckets) — the brute-force twin
+    ``knn_bruteforce`` is the exact baseline."""
+    from pyspark.sql import Window
+
+    normed = _normed_emb(spark, sf_dir)
+    probes = normed.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    scored = (
+        probes.join(normed, on="bucket", how="inner")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "bucket",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id", "bucket", "neighbor_id", "cosine", F.col("rank").cast("int")
+        )
+    )
+
+
+SQL_KNN_IVF_BUCKETED = f"""
+with {_SQL_NORMED_EMB},
+scored as (
+  select q.vec_id as query_id, q.bucket as bucket, n.vec_id as neighbor_id,
+    round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) as cosine
+  from normed q join normed n on q.bucket = n.bucket
+  where q.vec_id < 5 and n.vec_id <> q.vec_id
+),
+ranked as (
+  select query_id, bucket, neighbor_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, bucket, neighbor_id, cosine, cast(rank as int) as rank
+from ranked where rank <= 3
+"""
+
+
 def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("label").cast("int").alias("label"),
@@ -941,7 +1198,11 @@ QUERIES = {
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
+    "doc_ngram_near_dup": q_doc_ngram_near_dup,
+    "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf_bucketed": q_knn_ivf_bucketed,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
 }
 
@@ -964,6 +1225,10 @@ ORACLES = {
     "doc_near_dup_pairs": SQL_DOC_NEAR_DUP_PAIRS,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
+    "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
 }
