@@ -58,10 +58,42 @@ def _q_pyramid_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl1.select("level", "tile_x", "tile_y", "missing_px", "height_sum")
 
 
+def _q_water_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile water-body connected components over a deterministic
+    synthetic 2x2-tile world (rows-only; tiled==untiled parity is pinned
+    in tests/test_water.py against the numpy flood-fill oracle)."""
+    import numpy as np
+
+    from demeton_spark.synth import WorldSpec, expected_world_heights
+    from demeton_spark.water import global_water_components
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60, block_size=20
+    )
+    world = expected_world_heights(spec)
+    ts = spec.tile_size
+    rows = []
+    for by in range(spec.n_tiles_y):
+        for bx in range(spec.n_tiles_x):
+            block = world[by * ts : (by + 1) * ts, bx * ts : (bx + 1) * ts]
+            rows.append(
+                (
+                    spec.lon0 + bx,
+                    spec.lat0 + by,
+                    bytearray(np.ascontiguousarray(block).tobytes()),
+                )
+            )
+    tiles = spark.createDataFrame(rows, "tile_x int, tile_y int, heights binary")
+    # this lon/lat window of the synthetic terrain spans ~[500, 736]m;
+    # a 550m sea level carves lakes that straddle tile boundaries
+    return global_water_components(tiles, ts, sea_level=550)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["hillshade_tiles"] = _q_hillshade_tiles
     out["pyramid_downsample"] = _q_pyramid_downsample
+    out["water_components"] = _q_water_components
     return out
 
 

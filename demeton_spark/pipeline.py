@@ -98,11 +98,15 @@ class ShadeContext:
 
     ``heights`` float (H, W), NaN = missing, row 0 = south (DEM order);
     slope/aspect in radians, NaN where any 3×3 neighbor was missing.
+    ``water`` is an optional bool mask for the water shaders (the
+    reference wires these as CustomShading steps over the XTH water bit,
+    TileShadeCommand.fs:428-494).
     """
 
     heights: np.ndarray
     slope: np.ndarray
     aspect: np.ndarray
+    water: np.ndarray | None = None
 
 
 def _color(params: dict, key: str, default):
@@ -162,6 +166,47 @@ def _shade_solid(ctx: ShadeContext, params: dict) -> np.ndarray:
     )
 
 
+def _shade_water(ctx: ShadeContext, params: dict) -> np.ndarray:
+    """Water-bodies shader: water color where the mask says water,
+    transparent elsewhere (WaterBodiesShaders.fs:56-114; the XTH MSB
+    water-from-DEM variant, TileShadeCommand.fs:428-473, feeds the same
+    mask via codec.decode_xth).  Falls back to heights <= sealevel when
+    no mask was wired into the context."""
+    color = _color(params, "color", (73, 126, 173, 255))
+    if ctx.water is not None:
+        mask = ctx.water
+    else:
+        sea = float(params.get("sealevel", 0.0))
+        with np.errstate(invalid="ignore"):
+            mask = np.nan_to_num(ctx.heights, nan=np.inf) <= sea
+    out = np.zeros((*ctx.heights.shape, 4), dtype=np.uint8)
+    out[mask] = np.array(color, dtype=np.uint8)
+    return out
+
+
+def _shade_water_outline(ctx: ShadeContext, params: dict) -> np.ndarray:
+    """Outline shader: shore rings 1..3 darkened toward the shore
+    (WaterBodiesShaders.fs:116-207 forward-projected outline pixels)."""
+    from .water import outline_distance
+
+    color = _color(params, "color", (23, 76, 123, 255))
+    if ctx.water is not None:
+        mask = ctx.water
+    else:
+        sea = float(params.get("sealevel", 0.0))
+        with np.errstate(invalid="ignore"):
+            mask = np.nan_to_num(ctx.heights, nan=np.inf) <= sea
+    dist = outline_distance(mask, max_dist=int(params.get("maxdist", 3)))
+    out = np.zeros((*ctx.heights.shape, 4), dtype=np.uint8)
+    ring = dist > 0
+    out[ring] = np.array(color, dtype=np.uint8)
+    # fade outer→inner rings: alpha scaled by 1/dist
+    out[..., 3] = np.where(ring, out[..., 3] // np.maximum(dist, 1), 0).astype(
+        np.uint8
+    )
+    return out
+
+
 #: step-name → shader function registry (the CustomShading surface,
 #: Pipeline/Common.fs:11-42)
 SHADER_REGISTRY = {
@@ -171,6 +216,8 @@ SHADER_REGISTRY = {
     "aspect": _shade_aspect,
     "elecolor": _shade_elecolor,
     "solid": _shade_solid,
+    "water": _shade_water,
+    "wateroutline": _shade_water_outline,
 }
 
 

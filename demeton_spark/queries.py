@@ -703,37 +703,15 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling (/root/reference/Demeton/WaterBodies/Coloring.fs:17-182),
     applied to a similarity graph instead of a pixel grid.
     """
+    from .graph import connected_components
+
     pairs = q_doc_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc")
     )
-    labels = docs.select("doc", F.col("doc").alias("label")).localCheckpoint()
-    for _ in range(20):
-        nbr_min = (
-            edges.join(labels, edges.doc_b == labels.doc)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.doc == nbr_min.doc_a, "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("chg"),
-            )
-        ).localCheckpoint()
-        changed = new_labels.where(F.col("chg")).count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
-    edges.unpersist()
+    labels = connected_components(docs, pairs, "doc", ("doc_a", "doc_b"))
     return labels.select(
-        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
