@@ -1,0 +1,236 @@
+"""Multimodal column operators: decode / verify / resize / feature-
+extract / frame-sample over opaque ``binary`` payloads with typed
+metadata — all Arrow-batched ``mapInPandas``, no per-row Python UDFs.
+
+The image formats the engine owns (``png16`` 16-bit grayscale PNG and
+``hgt`` big-endian int16 — the reference's two DEM encodings,
+/root/reference/Demeton/Srtm/Png.fs:29-70 and Dem/Hgt.fs:14-92) decode
+for real through :mod:`demeton_spark.codec`.  Lossy consumer formats
+(jpeg/webp) and audio/video codecs have no decoder library in this
+environment: their decode paths are STUBS — ``jpeg``/``webp`` produce a
+deterministic fake raster derived from the payload hash (clearly marked,
+stable across runs so the downstream plumbing is testable), and audio
+raises ``NotImplementedError``.  The Spark-side contract — schemas,
+batch shapes, quarantine routing, partitioning — is real and tested.
+
+``verify_images`` implements the per-row invariant from the build
+target: decoded pixels must hash to the row's ``phash`` (allclose/
+PSNR≥40dB reduces to exact equality for the lossless formats we own)
+and the caption must parse.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import codec, kernels
+
+DECODED_SCHEMA = (
+    "image_id string, w int, h int, fmt string, pixels binary, "
+    "caption string, phash long"
+)
+
+
+def _decode_payload(fmt: str, payload: bytes, w: int, h: int) -> np.ndarray:
+    """Binary → int16 (h, w) block.  Real for png16/hgt; deterministic
+    FAKE for jpeg/webp (no decoder in this container — do not ship)."""
+    if fmt == "png16":
+        return codec.decode_heights_png(bytes(payload))
+    if fmt == "hgt":
+        return codec.decode_hgt(bytes(payload), w)
+    if fmt in ("jpeg", "webp"):
+        # STUB: derive a stable pseudo-raster from the payload digest so
+        # downstream stages (resize, features) exercise real shapes.
+        seed = int.from_bytes(
+            hashlib.sha256(bytes(payload)).digest()[:8], "big"
+        )
+        rng = np.random.default_rng(seed)
+        return rng.integers(-500, 9000, size=(h, w), dtype=np.int16)
+    raise NotImplementedError(f"no decoder for format {fmt!r}")
+
+
+def decode_images(
+    images: DataFrame, on_error: str = "raise"
+) -> DataFrame:
+    """images table → decoded int16 pixel blocks (same row count).
+
+    ``on_error='skip'`` drops undecodable rows instead of failing the
+    task (dead-letter them with a separate filter first if you need the
+    quarantine — at 10^12-row scale one poison row must not kill the
+    job)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "image_id", "w", "h", "fmt", "pixels", "caption", "phash")}
+            for r in pdf.itertuples():
+                try:
+                    block = _decode_payload(r.fmt, r.bytes, int(r.w), int(r.h))
+                except NotImplementedError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                out["image_id"].append(r.image_id)
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                out["fmt"].append(r.fmt)
+                out["pixels"].append(block.tobytes())
+                out["caption"].append(r.caption)
+                out["phash"].append(int(r.phash))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+VERIFY_SCHEMA = (
+    "image_id string, phash_ok boolean, caption_ok boolean"
+)
+
+
+def verify_images(images: DataFrame) -> DataFrame:
+    """Per-row invariant check: sha256-derived pixel hash == phash column
+    and the caption parses (input_hint: decoded-pixel parity + caption
+    equality)."""
+    from .engine import _CAPTION_PATTERN
+    import re
+
+    pat = re.compile(_CAPTION_PATTERN)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, p_ok, c_ok = [], [], []
+            for r in pdf.itertuples():
+                block = _decode_payload(r.fmt, r.bytes, int(r.w), int(r.h))
+                got = int.from_bytes(
+                    hashlib.sha256(block.tobytes()).digest()[:8],
+                    "big",
+                    signed=True,
+                )
+                ids.append(r.image_id)
+                p_ok.append(got == int(r.phash))
+                c_ok.append(bool(pat.search(r.caption)))
+            yield pd.DataFrame(
+                {"image_id": ids, "phash_ok": p_ok, "caption_ok": c_ok}
+            )
+
+    return images.mapInPandas(run, schema=VERIFY_SCHEMA)
+
+
+RESIZED_SCHEMA = "image_id string, w int, h int, pixels binary"
+
+
+def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Area-weighted resample of every decoded block (A2 kernel,
+    Dem/Funcs.fs:561-624 semantics incl. missing-height masking)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pix = [], []
+            for r in pdf.itertuples():
+                block = np.frombuffer(r.pixels, dtype=np.int16).reshape(
+                    int(r.h), int(r.w)
+                )
+                resized = kernels.resample_area_weighted(block, out_h, out_w)
+                ids.append(r.image_id)
+                pix.append(resized.tobytes())
+            yield pd.DataFrame(
+                {"image_id": ids, "w": out_w, "h": out_h, "pixels": pix}
+            )
+
+    return decoded.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "image_id string, min_h int, max_h int, mean_h double, std_h double, "
+    "missing_px long, grad_energy double"
+)
+
+
+def image_features(decoded: DataFrame) -> DataFrame:
+    """Per-image feature vector: height stats + missing count + mean
+    squared gradient magnitude (texture proxy via the Horn kernel)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "image_id", "min_h", "max_h", "mean_h", "std_h",
+                "missing_px", "grad_energy")}
+            for r in pdf.itertuples():
+                block = np.frombuffer(r.pixels, dtype=np.int16).reshape(
+                    int(r.h), int(r.w)
+                )
+                f = kernels.heights_to_float(block)
+                valid = ~np.isnan(f)
+                rows["image_id"].append(r.image_id)
+                rows["min_h"].append(
+                    int(np.min(block[valid])) if valid.any() else 0
+                )
+                rows["max_h"].append(
+                    int(np.max(block[valid])) if valid.any() else 0
+                )
+                rows["mean_h"].append(
+                    float(np.mean(f[valid])) if valid.any() else float("nan")
+                )
+                rows["std_h"].append(
+                    float(np.std(f[valid])) if valid.any() else float("nan")
+                )
+                rows["missing_px"].append(int((~valid).sum()))
+                p, q = kernels.horn_pq(
+                    np.pad(f, 1, constant_values=np.nan), 1.0, 1.0
+                )
+                g = p * p + q * q
+                rows["grad_energy"].append(
+                    float(np.nanmean(g)) if np.isfinite(g).any() else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "video_id string, frame_idx int, frame binary"
+
+
+def frame_sample(
+    videos: DataFrame, frame_w: int, frame_h: int, every_k: int = 2
+) -> DataFrame:
+    """Sample every k-th frame of a "video" payload.
+
+    The container format is a deterministic fake — a flat concatenation
+    of int16 (frame_h, frame_w) frames (no video codec exists in this
+    environment); the Spark plumbing (explode one row → many frame rows
+    inside mapInPandas, stable frame indices) is the real deliverable.
+    Expects columns (video_id, bytes).
+    """
+    frame_px = frame_w * frame_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, frames = [], [], []
+            for r in pdf.itertuples():
+                buf = np.frombuffer(r.bytes, dtype=np.int16)
+                n_frames = len(buf) // frame_px
+                for i in range(0, n_frames, every_k):
+                    vids.append(r.video_id)
+                    idxs.append(i)
+                    frames.append(
+                        buf[i * frame_px : (i + 1) * frame_px].tobytes()
+                    )
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return videos.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """STUB: no audio decoder is available in this environment."""
+    raise NotImplementedError(
+        "audio decoding requires a codec library not present in this "
+        "container; wire a decoder into _decode_payload-style mapInPandas "
+        "plumbing as done for images"
+    )

@@ -1,0 +1,100 @@
+"""Multimodal plumbing: real png16/hgt decode, per-row phash/caption
+invariant, area-weighted resize vs the numpy kernel, feature extraction,
+deterministic-fake frame sampling, and quarantine routing."""
+
+import numpy as np
+import pytest
+
+from demeton_spark import kernels, multimodal, synth
+from demeton_spark.synth import WorldSpec
+
+SPEC = WorldSpec(lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=1, tile_size=30, block_size=10)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synth.images_df(spark, SPEC, num_partitions=3).cache()
+    df.count()
+    return df
+
+
+def test_decode_images_roundtrip(spark, images):
+    decoded = multimodal.decode_images(images)
+    rows = {r["image_id"]: r for r in decoded.collect()}
+    assert len(rows) == SPEC.n_rows
+    src = {r["image_id"]: r for r in images.collect()}
+    for iid, r in rows.items():
+        block = np.frombuffer(r["pixels"], dtype=np.int16)
+        assert block.shape == (r["w"] * r["h"],)
+        assert r["caption"] == src[iid]["caption"]
+
+
+def test_verify_images_invariant(spark, images):
+    v = multimodal.verify_images(images)
+    agg = v.selectExpr(
+        "count(*) as n",
+        "sum(cast(phash_ok as int)) as p_ok",
+        "sum(cast(caption_ok as int)) as c_ok",
+    ).collect()[0]
+    assert agg["n"] == SPEC.n_rows
+    assert agg["p_ok"] == SPEC.n_rows  # decoded pixels hash to phash
+    assert agg["c_ok"] == SPEC.n_rows
+
+
+def test_resize_matches_numpy_oracle(spark, images):
+    decoded = multimodal.decode_images(images)
+    resized = multimodal.resize_images(decoded, 4, 4)
+    got = {r["image_id"]: r for r in resized.collect()}
+    for r in decoded.collect():
+        block = np.frombuffer(r["pixels"], dtype=np.int16).reshape(
+            r["h"], r["w"]
+        )
+        want = kernels.resample_area_weighted(block, 4, 4)
+        have = np.frombuffer(got[r["image_id"]]["pixels"], dtype=np.int16).reshape(4, 4)
+        assert np.array_equal(have, want), r["image_id"]
+
+
+def test_image_features(spark, images):
+    feats = multimodal.image_features(multimodal.decode_images(images))
+    rows = feats.collect()
+    assert len(rows) == SPEC.n_rows
+    for r in rows:
+        assert r["min_h"] <= r["max_h"]
+        assert r["grad_energy"] >= 0.0
+    # blocks with holes report missing pixels
+    assert any(r["missing_px"] > 0 for r in rows)
+
+
+def test_fake_format_stub_and_quarantine(spark):
+    rows = [
+        ("a", bytearray(b"\x01\x02"), 4, 4, "jpeg", "x", 0),
+        ("b", bytearray(b"\x01\x02"), 4, 4, "flac", "x", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    # unknown format raises through by default…
+    with pytest.raises(Exception):
+        multimodal.decode_images(df).collect()
+    # …and is skippable (quarantine-style); the jpeg STUB decodes
+    # deterministically
+    ok = multimodal.decode_images(df, on_error="skip").collect()
+    assert [r["image_id"] for r in ok] == ["a"]
+    again = multimodal.decode_images(df, on_error="skip").collect()
+    assert ok[0]["pixels"] == again[0]["pixels"]  # stub is stable
+
+
+def test_frame_sample(spark):
+    frames = np.arange(3 * 2 * 2, dtype=np.int16)  # 3 frames of 2×2
+    df = spark.createDataFrame(
+        [("v0", bytearray(frames.tobytes()))], "video_id string, bytes binary"
+    )
+    out = multimodal.frame_sample(df, 2, 2, every_k=2).collect()
+    assert [(r["video_id"], r["frame_idx"]) for r in out] == [("v0", 0), ("v0", 2)]
+    f0 = np.frombuffer(out[0]["frame"], dtype=np.int16)
+    assert f0.tolist() == [0, 1, 2, 3]
+
+
+def test_audio_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.audio_features(None)

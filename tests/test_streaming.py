@@ -1,0 +1,81 @@
+"""Structured Streaming: availableNow backfill over a parquet events
+dir must agree with the identical batch plan (windowed counts and
+session windows share one code path)."""
+
+import datetime as dt
+
+import pytest
+
+from demeton_spark import streaming
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        # two sessions per user: a burst, a >1h gap, another burst
+        for minutes in (0, 10, 20, 200, 210):
+            rows.append(
+                (
+                    eid,
+                    user,
+                    "click" if eid % 2 == 0 else "view",
+                    base + dt.timedelta(minutes=minutes + user),
+                    float(eid),
+                )
+            )
+            eid += 1
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    spark.createDataFrame(rows, streaming.EVENTS_SCHEMA).coalesce(1).write.parquet(path)
+    return path
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir, tmp_path):
+    stream_in = streaming.read_events_stream(spark, events_dir)
+    assert stream_in.isStreaming
+    got = streaming.run_to_memory(
+        streaming.windowed_event_counts(stream_in),
+        "win_counts",
+        str(tmp_path / "ckpt1"),
+        output_mode="complete",
+    ).collect()
+
+    batch = streaming.windowed_event_counts(
+        spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir)
+    ).collect()
+
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert sorted(
+        (key(r), r["n_events"], r["sum_value"]) for r in got
+    ) == sorted((key(r), r["n_events"], r["sum_value"]) for r in batch)
+    assert len(batch) > 0
+
+
+def test_session_windows_stream_equals_batch(spark, events_dir, tmp_path):
+    stream_in = streaming.read_events_stream(
+        spark, events_dir, max_files_per_trigger=1
+    )
+    got = streaming.run_to_memory(
+        streaming.session_counts(stream_in),
+        "sess_counts",
+        str(tmp_path / "ckpt2"),
+        output_mode="complete",
+    ).collect()
+
+    batch = streaming.session_counts(
+        spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir)
+    ).collect()
+
+    canon = lambda rows: sorted(  # noqa: E731
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in rows
+    )
+    assert canon(got) == canon(batch)
+    # each user has exactly 2 sessions (>1h gap splits)
+    per_user = {}
+    for r in batch:
+        per_user.setdefault(r["user_id"], 0)
+        per_user[r["user_id"]] += 1
+    assert per_user == {1: 2, 2: 2}
