@@ -1,0 +1,211 @@
+"""Marching-squares isoline extraction (raster → vector, SURVEY.md §2.5
+W4; reference /root/reference/Demeton/Vectorization/MarchingSquares.fs
++ IsolineMoves.fs).
+
+The reference walks cell edges emitting move chains; here the case
+table is evaluated for ALL cells at once in numpy and segments are
+emitted per cell with linear edge interpolation — same geometry, no
+per-pixel Python.  Missing heights (NaN after masking) suppress every
+cell they touch, matching the reference's None-propagation (§4.3).
+
+Coordinates: x right, y up (DEM orientation), cell (x, y) spans corners
+(x..x+1, y..y+1); segment endpoints lie on cell edges at the
+interpolated crossing of the iso level.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import kernels
+
+#: case → list of (edge_a, edge_b) segments.  Edges: 0=bottom, 1=right,
+#: 2=top, 3=left.  Case bit i set ⇔ corner i >= level, corners ordered
+#: (bl, br, tr, tl).  Ambiguous saddles (5, 10) resolve to the
+#: non-connected convention (two separate segments).
+_CASES: dict[int, list[tuple[int, int]]] = {
+    0: [], 15: [],
+    1: [(3, 0)], 14: [(3, 0)],
+    2: [(0, 1)], 13: [(0, 1)],
+    4: [(1, 2)], 11: [(1, 2)],
+    8: [(2, 3)], 7: [(2, 3)],
+    3: [(3, 1)], 12: [(3, 1)],
+    6: [(0, 2)], 9: [(0, 2)],
+    5: [(3, 2), (1, 0)],
+    10: [(0, 3), (2, 1)],
+}
+
+
+def _interp(a: np.ndarray, b: np.ndarray, level: float) -> np.ndarray:
+    """Fraction along a→b where the level crosses (a != b guaranteed on
+    a crossing edge)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = (level - a) / (b - a)
+    return np.clip(t, 0.0, 1.0)
+
+
+def isoline_segments(heights: np.ndarray, level: float) -> np.ndarray:
+    """All isoline segments of the heights grid at ``level``.
+
+    ``heights``: float (H, W) grid, NaN = missing.  Returns an (N, 4)
+    float array of (x0, y0, x1, y1) rows, deterministic cell-scan order.
+    """
+    f = np.asarray(heights, dtype=np.float64)
+    h, w = f.shape
+    if h < 2 or w < 2:
+        return np.empty((0, 4))
+    bl = f[:-1, :-1]
+    br = f[:-1, 1:]
+    tr = f[1:, 1:]
+    tl = f[1:, :-1]
+    ok = ~(np.isnan(bl) | np.isnan(br) | np.isnan(tr) | np.isnan(tl))
+    case = (
+        (bl >= level).astype(np.int8)
+        | ((br >= level).astype(np.int8) << 1)
+        | ((tr >= level).astype(np.int8) << 2)
+        | ((tl >= level).astype(np.int8) << 3)
+    )
+    case = np.where(ok, case, 0)
+
+    ys, xs = np.nonzero((case != 0) & (case != 15))
+    if len(ys) == 0:
+        return np.empty((0, 4))
+    c = case[ys, xs]
+    vbl, vbr, vtr, vtl = bl[ys, xs], br[ys, xs], tr[ys, xs], tl[ys, xs]
+
+    # edge crossing points per cell (x, y) in grid coords
+    def edge_point(edge: int) -> tuple[np.ndarray, np.ndarray]:
+        if edge == 0:  # bottom: bl→br
+            t = _interp(vbl, vbr, level)
+            return xs + t, ys + 0.0
+        if edge == 1:  # right: br→tr
+            t = _interp(vbr, vtr, level)
+            return xs + 1.0, ys + t
+        if edge == 2:  # top: tl→tr
+            t = _interp(vtl, vtr, level)
+            return xs + t, ys + 1.0
+        t = _interp(vbl, vtl, level)  # left: bl→tl
+        return xs + 0.0, ys + t
+
+    pts = [edge_point(e) for e in range(4)]
+    segs = []
+    for case_id, pairs in _CASES.items():
+        if not pairs:
+            continue
+        m = c == case_id
+        if not m.any():
+            continue
+        for ea, eb in pairs:
+            ax, ay = pts[ea]
+            bx, by = pts[eb]
+            segs.append(
+                np.column_stack([ax[m], ay[m], bx[m], by[m]])
+            )
+    if not segs:
+        return np.empty((0, 4))
+    out = np.concatenate(segs)
+    # drop degenerate zero-length segments (level hits a corner exactly)
+    out = out[
+        (np.abs(out[:, 0] - out[:, 2]) > 1e-12)
+        | (np.abs(out[:, 1] - out[:, 3]) > 1e-12)
+    ]
+    # deterministic order regardless of case-table iteration
+    order = np.lexsort((out[:, 1], out[:, 0]))
+    return out[order]
+
+
+def chain_segments(segments: np.ndarray, tol: float = 1e-9) -> list[np.ndarray]:
+    """Join segments into polylines (closed loops or clipped chains —
+    the reference's ClosedIsoline / ClippedIsoline taxonomy,
+    MarchingSquares.fs:47-68).  Returns a list of (K, 2) point arrays;
+    closed loops repeat their first point at the end."""
+    if len(segments) == 0:
+        return []
+    key = lambda p: (round(p[0] / tol) * tol, round(p[1] / tol) * tol)  # noqa: E731
+    # segments are emitted with case-table orientation, so a chain may
+    # traverse a segment in either direction: index both endpoints
+    by_end: dict[tuple, list[int]] = {}
+    for i, s in enumerate(segments):
+        by_end.setdefault(key(s[:2]), []).append(i)
+        by_end.setdefault(key(s[2:]), []).append(i)
+    used = np.zeros(len(segments), dtype=bool)
+
+    def grow(chain: list) -> None:
+        while True:
+            k = key(chain[-1])
+            nxt = next((j for j in by_end.get(k, []) if not used[j]), None)
+            if nxt is None:
+                return
+            used[nxt] = True
+            s = segments[nxt]
+            chain.append(
+                s[2:].copy() if key(s[:2]) == k else s[:2].copy()
+            )
+            if key(chain[-1]) == key(chain[0]):
+                return
+
+    chains = []
+    for i in range(len(segments)):
+        if used[i]:
+            continue
+        used[i] = True
+        chain = [segments[i][:2].copy(), segments[i][2:].copy()]
+        grow(chain)  # forward from the end
+        if key(chain[-1]) != key(chain[0]):
+            chain.reverse()  # then extend the other direction (clipped)
+            grow(chain)
+        chains.append(np.array(chain))
+    return chains
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+ISOLINE_SCHEMA = (
+    "tile_x int, tile_y int, level double, n_segments long, "
+    "n_closed long, n_clipped long, total_len double"
+)
+
+
+def tile_isolines(
+    tiles: DataFrame, tile_size: int, levels: list[float]
+) -> DataFrame:
+    """Per-tile isoline statistics at the given height levels (one
+    mapInPandas pass; heavy vector output stays distributed — only
+    stats come back)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "tile_x", "tile_y", "level", "n_segments",
+                "n_closed", "n_clipped", "total_len")}
+            for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["heights"]):
+                grid = kernels.heights_to_float(
+                    np.frombuffer(buf, dtype="<i2").reshape(tile_size, tile_size)
+                )
+                for level in levels:
+                    segs = isoline_segments(grid, level)
+                    chains = chain_segments(segs)
+                    closed = sum(
+                        1 for ch in chains
+                        if len(ch) > 2 and np.allclose(ch[0], ch[-1])
+                    )
+                    length = float(
+                        np.sum(np.hypot(segs[:, 2] - segs[:, 0],
+                                        segs[:, 3] - segs[:, 1]))
+                    ) if len(segs) else 0.0
+                    rows["tile_x"].append(int(tx))
+                    rows["tile_y"].append(int(ty))
+                    rows["level"].append(float(level))
+                    rows["n_segments"].append(len(segs))
+                    rows["n_closed"].append(closed)
+                    rows["n_clipped"].append(len(chains) - closed)
+                    rows["total_len"].append(length)
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(run, schema=ISOLINE_SCHEMA)

@@ -1,0 +1,109 @@
+"""Marching-squares isolines: endpoint-on-crossing-edge property, loop
+closure for interior isolines, saddle handling, NaN suppression, and
+the Spark per-tile operator."""
+
+import numpy as np
+import pytest
+
+from demeton_spark import isolines
+from demeton_spark.tiles import DEM_HEIGHT_NONE
+
+
+def _endpoints_on_crossing_edges(heights, level, segs):
+    """Every endpoint must sit on a grid edge whose corner values
+    straddle the level."""
+    h, w = heights.shape
+    for x0, y0, x1, y1 in segs:
+        for x, y in ((x0, y0), (x1, y1)):
+            on_vert = abs(x - round(x)) < 1e-12
+            on_horz = abs(y - round(y)) < 1e-12
+            assert on_vert or on_horz, (x, y)
+            if on_vert and not on_horz:
+                xi, yi = int(round(x)), int(np.floor(y))
+                a, b = heights[yi, xi], heights[yi + 1, xi]
+            elif on_horz and not on_vert:
+                xi, yi = int(np.floor(x)), int(round(y))
+                a, b = heights[yi, xi], heights[yi, xi + 1]
+            else:  # exactly on a corner: level == corner value
+                xi, yi = int(round(x)), int(round(y))
+                assert heights[yi, xi] == level
+                continue
+            assert (a >= level) != (b >= level) or a == level or b == level
+
+
+def test_single_peak_closed_loop():
+    y, x = np.mgrid[0:20, 0:20]
+    heights = 100.0 - ((x - 10.0) ** 2 + (y - 10.0) ** 2)
+    # off-grid level: exact corner hits are the degenerate case, tested
+    # separately via the step/plateau cases
+    segs = isolines.isoline_segments(heights, 50.5)
+    assert len(segs) > 0
+    _endpoints_on_crossing_edges(heights, 50.5, segs)
+    # interior isoline: every endpoint appears exactly twice → one loop
+    chains = isolines.chain_segments(segs)
+    assert len(chains) == 1
+    assert np.allclose(chains[0][0], chains[0][-1])
+
+
+def test_plateau_cross_section():
+    # vertical step: column x<5 low, x>=5 high → one straight isoline
+    heights = np.zeros((6, 10))
+    heights[:, 5:] = 10.0
+    segs = isolines.isoline_segments(heights, 5.0)
+    # crossing between x=4 and x=5 at t=0.5 for every row pair
+    assert len(segs) == 5
+    assert np.allclose(segs[:, 0], 4.5) and np.allclose(segs[:, 2], 4.5)
+    chains = isolines.chain_segments(segs)
+    assert len(chains) == 1 and len(chains[0]) == 6  # clipped chain
+
+
+def test_saddle_emits_two_segments():
+    heights = np.array([[1.0, 0.0], [0.0, 1.0]])
+    segs = isolines.isoline_segments(heights, 0.5)
+    assert len(segs) == 2
+    heights2 = np.array([[0.0, 1.0], [1.0, 0.0]])
+    assert len(isolines.isoline_segments(heights2, 0.5)) == 2
+
+
+def test_nan_suppresses_cells():
+    heights = np.full((4, 4), 10.0)
+    heights[1, 1] = np.nan
+    heights[:, 2:] = 0.0
+    segs = isolines.isoline_segments(heights, 5.0)
+    # cells touching the NaN corner (x∈[0,2], y∈[0,2]) emit nothing:
+    # only the top cell column crossing (1.5, y∈[2,3]) survives
+    assert len(segs) == 1
+    assert np.allclose(segs[0], [1.5, 2.0, 1.5, 3.0]) or np.allclose(
+        segs[0], [1.5, 3.0, 1.5, 2.0]
+    )
+
+
+def test_all_below_or_above_empty():
+    flat = np.full((5, 5), 1.0)
+    assert len(isolines.isoline_segments(flat, 5.0)) == 0
+    assert len(isolines.isoline_segments(flat, -5.0)) == 0
+
+
+def test_tile_isolines_spark(spark):
+    ts = 32
+    y, x = np.mgrid[0:ts, 0:ts]
+    cone = (500.0 - 10.0 * np.hypot(x - 16, y - 16)).astype(np.int16)
+    flat = np.full((ts, ts), 100, dtype=np.int16)
+    flat[5, 5] = DEM_HEIGHT_NONE
+    df = spark.createDataFrame(
+        [
+            (0, 0, bytearray(cone.tobytes())),
+            (1, 0, bytearray(flat.tobytes())),
+        ],
+        "tile_x int, tile_y int, heights binary",
+    )
+    got = {
+        (r["tile_x"], r["level"]): r
+        for r in isolines.tile_isolines(df, ts, [405.0, 1000.0]).collect()
+    }
+    cone_r = got[(0, 405.0)]
+    want = isolines.isoline_segments(cone.astype(float), 405.0)
+    assert cone_r["n_segments"] == len(want) > 0
+    assert cone_r["n_closed"] == 1 and cone_r["n_clipped"] == 0
+    assert got[(0, 1000.0)]["n_segments"] == 0  # above the peak
+    assert got[(1, 405.0)]["n_segments"] == 0  # flat tile
