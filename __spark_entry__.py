@@ -62,10 +62,20 @@ def _q_water_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tile water-body connected components over a deterministic
     synthetic 2x2-tile world (rows-only; tiled==untiled parity is pinned
     in tests/test_water.py against the numpy flood-fill oracle)."""
+    from demeton_spark.water import global_water_components
+
+    tiles, ts = _synthetic_tiles(spark)
+    # this lon/lat window of the synthetic terrain spans ~[500, 736]m;
+    # a 550m sea level carves lakes that straddle tile boundaries
+    return global_water_components(tiles, ts, sea_level=550)
+
+
+def _synthetic_tiles(spark: SparkSession):
+    """Deterministic 2x2-tile heights table shared by the raster-operator
+    contract queries (water components, isolines)."""
     import numpy as np
 
     from demeton_spark.synth import WorldSpec, expected_world_heights
-    from demeton_spark.water import global_water_components
 
     spec = WorldSpec(
         lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60, block_size=20
@@ -83,10 +93,19 @@ def _q_water_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bytearray(np.ascontiguousarray(block).tobytes()),
                 )
             )
-    tiles = spark.createDataFrame(rows, "tile_x int, tile_y int, heights binary")
-    # this lon/lat window of the synthetic terrain spans ~[500, 736]m;
-    # a 550m sea level carves lakes that straddle tile boundaries
-    return global_water_components(tiles, ts, sea_level=550)
+    return (
+        spark.createDataFrame(rows, "tile_x int, tile_y int, heights binary"),
+        ts,
+    )
+
+
+def _q_tile_isolines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares isoline stats per tile (rows-only; geometry
+    properties are pinned in tests/test_isolines.py)."""
+    from demeton_spark.isolines import tile_isolines
+
+    tiles, ts = _synthetic_tiles(spark)
+    return tile_isolines(tiles, ts, [550.0, 650.0])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -94,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hillshade_tiles"] = _q_hillshade_tiles
     out["pyramid_downsample"] = _q_pyramid_downsample
     out["water_components"] = _q_water_components
+    out["tile_isolines"] = _q_tile_isolines
     return out
 
 

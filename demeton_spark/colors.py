@@ -135,18 +135,46 @@ class ColorScale:
             prev_h, prev_c = mark_h, mark_c
         return self.marks[-1][1]
 
-    def colorize(self, heights: np.ndarray, missing_mask: np.ndarray) -> np.ndarray:
-        """Vectorized lookup: float heights (H,W) → RGBA (H,W,4) uint8.
-
-        np.interp per channel reproduces the clamped piecewise-linear
-        lookup; the truncating byte cast matches mixColors.
-        """
+    def _interp_rgba(self, flat: np.ndarray) -> np.ndarray:
         hs = np.array([h for h, _ in self.marks], dtype=np.float64)
         chans = np.array([c for _, c in self.marks], dtype=np.float64)  # (n,4)
-        flat = np.nan_to_num(heights, nan=0.0).astype(np.float64).ravel()
         out = np.empty((flat.size, 4), dtype=np.uint8)
         for ch in range(4):
             out[:, ch] = np.trunc(np.interp(flat, hs, chans[:, ch])).astype(np.uint8)
+        return out
+
+    def int16_lut(self) -> np.ndarray:
+        """(65536, 4) uint8 color table over the whole int16 height
+        domain, built with the identical interp formula — heights in the
+        tile pipeline are int16-exact, so a single gather replaces the
+        per-pixel piecewise interpolation (~5× on the elecolor step).
+        Cached per scale instance."""
+        lut = getattr(self, "_lut", None)
+        if lut is None:
+            lut = self._interp_rgba(np.arange(-32768, 32768, dtype=np.float64))
+            object.__setattr__(self, "_lut", lut)  # frozen dataclass cache
+        return lut
+
+    def colorize(self, heights: np.ndarray, missing_mask: np.ndarray) -> np.ndarray:
+        """Vectorized lookup: float heights (H,W) → RGBA (H,W,4) uint8.
+
+        Integral int16-range heights (the tile pipeline's case) gather
+        from the cached LUT; anything else falls back to np.interp per
+        channel.  Both paths reproduce the clamped piecewise-linear
+        lookup with mixColors' truncating byte cast.
+        """
+        flat = np.nan_to_num(heights, nan=0.0).ravel()
+        fi = flat.astype(np.int32)
+        if (
+            flat.size
+            and flat.dtype.kind == "f"
+            and np.array_equal(fi, flat)
+            and fi.min() >= -32768
+            and fi.max() < 32768
+        ):
+            out = self.int16_lut()[fi + 32768]
+        else:
+            out = self._interp_rgba(flat.astype(np.float64))
         out = out.reshape(heights.shape + (4,))
         out[missing_mask] = np.array(self.none_color, dtype=np.uint8)
         return out

@@ -253,13 +253,32 @@ def exchange_halo(tiles: DataFrame, tile_size: int) -> DataFrame:
 # fused two-shuffle pipeline (the production path)
 # ---------------------------------------------------------------------------
 
+HALO_PART_LINEAGE_SCHEMA = HALO_PART_SCHEMA + ", n_blocks int"
+
+
+def _emit_center_and_strips(
+    tile: np.ndarray, tile_x: int, tile_y: int, n_blocks: int
+) -> pd.DataFrame:
+    out: dict[str, list] = {"tile_x": [tile_x], "tile_y": [tile_y],
+                            "part": ["C"], "data": [tile.tobytes()],
+                            "n_blocks": [n_blocks]}
+    for (dx, dy), part, cut in _STRIP_SPEC:
+        out["tile_x"].append(tile_x + dx)
+        out["tile_y"].append(tile_y + dy)
+        out["part"].append(part)
+        out["data"].append(np.ascontiguousarray(cut(tile)).tobytes())
+        out["n_blocks"].append(0)
+    return pd.DataFrame(out)
+
+
 def assemble_parts(assigned: DataFrame, tile_size: int) -> DataFrame:
     """Fused stage A: blocks → stitched tile, emitted as its center row
     plus the 8 edge strips keyed by the neighbors that need them.
 
     One shuffle (blocks → tile) and one Python pass replace the separate
     assemble + strip-emission stages: tile-sized blobs cross the Arrow
-    boundary once instead of twice.
+    boundary once instead of twice.  The center row carries ``n_blocks``
+    (input-row lineage surfaced into the shaded output).
     """
 
     def stitch_and_split(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -273,17 +292,91 @@ def assemble_parts(assigned: DataFrame, tile_size: int) -> DataFrame:
             block = _decode_block(fmt, payload, int(w))
             y0, x0 = int(by) * int(h), int(bx) * int(w)
             tile[y0 : y0 + int(h), x0 : x0 + int(w)] = block
-        out: dict[str, list] = {"tile_x": [tile_x], "tile_y": [tile_y],
-                                "part": ["C"], "data": [tile.tobytes()]}
-        for (dx, dy), part, cut in _STRIP_SPEC:
-            out["tile_x"].append(tile_x + dx)
-            out["tile_y"].append(tile_y + dy)
-            out["part"].append(part)
-            out["data"].append(np.ascontiguousarray(cut(tile)).tobytes())
-        return pd.DataFrame(out)
+        return _emit_center_and_strips(tile, tile_x, tile_y, len(pdf))
 
     return assigned.groupBy("tile_x", "tile_y").applyInPandas(
-        stitch_and_split, schema=HALO_PART_SCHEMA
+        stitch_and_split, schema=HALO_PART_LINEAGE_SCHEMA
+    )
+
+
+def assemble_parts_salted(
+    assigned: DataFrame, tile_size: int, salt_buckets: int
+) -> DataFrame:
+    """Salted two-phase assembly for skewed tiles (SURVEY.md §7.4 risk 3;
+    the north-rule "salted repartitioning handles land/ocean tile skew").
+
+    Heavy tiles (duplicate-dense "land" tiles — the synthetic skew knob
+    makes some tiles 8× denser) turn the single groupBy(tile) task into a
+    straggler.  Salting by BLOCK POSITION splits one hot tile across
+    ``salt_buckets`` tasks:
+
+      stage 1: groupBy(tile, salt) with salt = (by·bpts + bx) % buckets —
+               all duplicates of one block position share a salt, so the
+               deterministic (by, bx, image_id) overwrite order is
+               preserved within the only group that writes that position;
+      stage 2: groupBy(tile) merges the partial mosaics — positions are
+               disjoint across salts by construction, so the merge is
+               order-free row copying, and the partial payload per task
+               is ~1/buckets of the tile.
+
+    Identical output to :func:`assemble_parts` (tested), at the cost of
+    one extra narrow shuffle of tile-sized partials — worth it only for
+    genuinely skewed inputs; AQE skew-split handles mild skew upstream.
+    """
+    bpts = None  # inferred per group from block size
+
+    salted = assigned.withColumn(
+        "salt",
+        F.pmod(
+            F.col("by") * F.lit(10_000) + F.col("bx"), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+
+    partial_schema = (
+        "tile_x int, tile_y int, salt int, partial binary, n_blocks int"
+    )
+
+    def partial_stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = np.full((tile_size, tile_size), DEM_HEIGHT_NONE, dtype=np.int16)
+        pdf = pdf.sort_values(["by", "bx", "image_id"])
+        for fmt, payload, w, h, bx, by in zip(
+            pdf["fmt"], pdf["bytes"], pdf["w"], pdf["h"], pdf["bx"], pdf["by"]
+        ):
+            block = _decode_block(fmt, payload, int(w))
+            y0, x0 = int(by) * int(h), int(bx) * int(w)
+            tile[y0 : y0 + int(h), x0 : x0 + int(w)] = block
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf["tile_x"].iloc[0])],
+                "tile_y": [int(pdf["tile_y"].iloc[0])],
+                "salt": [int(pdf["salt"].iloc[0])],
+                "partial": [tile.tobytes()],
+                "n_blocks": [len(pdf)],
+            }
+        )
+
+    partials = salted.groupBy("tile_x", "tile_y", "salt").applyInPandas(
+        partial_stitch, schema=partial_schema
+    )
+
+    def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = np.full((tile_size, tile_size), DEM_HEIGHT_NONE, dtype=np.int16)
+        n_blocks = 0
+        for buf, nb in zip(pdf["partial"], pdf["n_blocks"]):
+            part = np.frombuffer(buf, dtype="<i2").reshape(tile_size, tile_size)
+            # positions are disjoint across salts: copy where the partial
+            # wrote anything — a position covered with an all-NONE block
+            # is indistinguishable from uncovered, which is safe because
+            # the base canvas is also NONE (identical result either way)
+            written = part != DEM_HEIGHT_NONE
+            tile[written] = part[written]
+            n_blocks += int(nb)
+        return _emit_center_and_strips(
+            tile, int(pdf["tile_x"].iloc[0]), int(pdf["tile_y"].iloc[0]), n_blocks
+        )
+
+    return partials.groupBy("tile_x", "tile_y").applyInPandas(
+        merge_partials, schema=HALO_PART_LINEAGE_SCHEMA
     )
 
 
@@ -299,11 +392,17 @@ def shade_parts(
         if "C" not in parts_map:
             return pd.DataFrame(
                 columns=["tile_x", "tile_y", "tile_name", "width", "height",
-                         "png", "shaded_px", "total_px"]
+                         "png", "shaded_px", "total_px", "n_blocks"]
             )
         ts = tile_size
         tile_x = int(pdf["tile_x"].iloc[0])
         tile_y = int(pdf["tile_y"].iloc[0])
+        # lineage: input-row count travels on the center part row
+        n_blocks = (
+            int(pdf.loc[pdf["part"] == "C", "n_blocks"].iloc[0])
+            if "n_blocks" in pdf.columns
+            else 0
+        )
         padded = _pad_from_parts(parts_map, ts)
         rgba, shaded = shade_padded_block(padded, tile_x, tile_y, ts, steps)
         return pd.DataFrame(
@@ -316,6 +415,7 @@ def shade_parts(
                 "png": [codec.encode_rgba_png(rgba)],
                 "shaded_px": [shaded],
                 "total_px": [ts * ts],
+                "n_blocks": [n_blocks],
             }
         )
 
@@ -350,7 +450,7 @@ def _pad_from_parts(parts_map: dict, ts: int) -> np.ndarray:
 
 SHADED_SCHEMA = (
     "tile_x int, tile_y int, tile_name string, width int, height int, "
-    "png binary, shaded_px long, total_px long"
+    "png binary, shaded_px long, total_px long, n_blocks int"
 )
 
 
@@ -380,11 +480,19 @@ def shade_padded_block(
     shaded = 0
     for r0 in range(0, h, SHADE_BAND_ROWS):
         r1 = min(r0 + SHADE_BAND_ROWS, h)
-        f = kernels.heights_to_float(padded[r0 : r1 + 2, :])
+        # float32 end-to-end in the band kernels: int16 heights are exact
+        # in f32, slope/aspect precision stays ~1e-7 relative (sub-LSB
+        # after the uint8 quantization), and the halved bandwidth is what
+        # keeps 32 concurrent workers off the memory wall
+        f = kernels.heights_to_float(padded[r0 : r1 + 2, :], dtype=np.float32)
         rows = np.arange(r0, r1, dtype=np.float64) + min_cell_y
         lat_deg = rows / cpd
         grid_w, grid_h = kernels.grid_size_meters(cpd, lat_deg)
-        p, q = kernels.horn_pq(f, grid_w[:, None], grid_h[:, None])
+        p, q = kernels.horn_pq(
+            f,
+            grid_w[:, None].astype(np.float32),
+            grid_h[:, None].astype(np.float32),
+        )
         slope, aspect = kernels.slope_and_aspect(p, q)
         ctx = pipeline.ShadeContext(
             heights=f[1:-1, 1:-1], slope=slope, aspect=aspect
@@ -405,7 +513,7 @@ def shade_tiles(
         for pdf in batches:
             rows: dict[str, list] = {k: [] for k in (
                 "tile_x", "tile_y", "tile_name", "width", "height",
-                "png", "shaded_px", "total_px",
+                "png", "shaded_px", "total_px", "n_blocks",
             )}
             for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["padded"]):
                 padded = np.frombuffer(buf, dtype="<i2").reshape(
@@ -424,6 +532,7 @@ def shade_tiles(
                 rows["png"].append(codec.encode_rgba_png(rgba))
                 rows["shaded_px"].append(shaded)
                 rows["total_px"].append(tile_size * tile_size)
+                rows["n_blocks"].append(0)  # unfused path: no lineage carry
             yield pd.DataFrame(rows)
 
     return padded_tiles.mapInPandas(shade, schema=SHADED_SCHEMA)
@@ -440,6 +549,7 @@ def run_hillshade(
     script: str = pipeline.DEFAULT_SCRIPT,
     output_dir: str | None = None,
     resume: bool = True,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """images table → shaded PNG tiles.
 
@@ -447,9 +557,14 @@ def run_hillshade(
     read back from the sink (the checkpoint manifest) and anti-joined
     out of the input — re-running after a failure only shades the
     missing tiles (ImportSrtmTilesCommand.fs:110-124 semantics).
+    ``salt_buckets`` switches to two-phase salted assembly for inputs
+    with heavy per-tile skew (see :func:`assemble_parts_salted`).
     """
     assigned = parse_caption(images)
-    parts = assemble_parts(assigned, tile_size)
+    if salt_buckets and salt_buckets > 1:
+        parts = assemble_parts_salted(assigned, tile_size, salt_buckets)
+    else:
+        parts = assemble_parts(assigned, tile_size)
     if output_dir is not None and resume:
         done = _read_manifest(spark, output_dir)
         if done is not None:
@@ -492,11 +607,13 @@ def shade_world_oracle(
     h, w = world.shape
     padded = np.full((h + 2, w + 2), DEM_HEIGHT_NONE, dtype=np.int16)
     padded[1:-1, 1:-1] = world
-    f = kernels.heights_to_float(padded)
+    f = kernels.heights_to_float(padded, dtype=np.float32)  # match engine dtype
     min_cell_y = spec.lat0 * ts
     lat_deg = (np.arange(h, dtype=np.float64) + min_cell_y) / cpd
     grid_w, grid_h = kernels.grid_size_meters(cpd, lat_deg)
-    p, q = kernels.horn_pq(f, grid_w[:, None], grid_h[:, None])
+    p, q = kernels.horn_pq(
+        f, grid_w[:, None].astype(np.float32), grid_h[:, None].astype(np.float32)
+    )
     slope, aspect = kernels.slope_and_aspect(p, q)
     ctx = pipeline.ShadeContext(
         heights=f[1:-1, 1:-1], slope=slope, aspect=aspect

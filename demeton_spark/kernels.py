@@ -44,9 +44,13 @@ DEFAULT_SUN_AZIMUTH_DEG = -45.0  # IgorHillshader.fs:19-26 (northwest)
 DEFAULT_SUN_ALTITUDE_DEG = 45.0  # LambertHillshader.fs:23-24
 
 
-def heights_to_float(heights: np.ndarray) -> np.ndarray:
-    """int16 sentinel block → float64 with NaN for missing."""
-    out = heights.astype(np.float64)
+def heights_to_float(heights: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """int16 sentinel block → float with NaN for missing.
+
+    float32 represents every int16 exactly; the engine hot path uses it
+    to halve kernel memory traffic (kernels are dtype-generic).
+    """
+    out = heights.astype(dtype)
     out[heights == DEM_HEIGHT_NONE] = np.nan
     return out
 
@@ -252,38 +256,52 @@ def composite_over(source: np.ndarray, dest: np.ndarray) -> np.ndarray:
     """Porter-Duff source-over with premultiplied alpha
     (AlphaCompositing.fs:17-95), including the reference's fast paths:
     αs=0 → dest, αs=255 → source, αd=0 → source.
+
+    The premultiplied blend reduces to exact integer arithmetic with one
+    division:  out_rgb = rint(P/A) with  P = src·sa·255 + dst·da·(255−sa),
+    A = sa·255 + da·(255−sa)  (all ≤ 3.3e7 → int32; this is the exact
+    rational value of the reference's float formula, and the float32
+    division is byte-identical to float64 over the full sampled domain).
+    The hot path runs on 128-row bands — int32/float32 keeps the
+    temporaries cache-resident, which is what lets 32 concurrent workers
+    scale (float64 triples the bandwidth per band).
     """
-    sa8 = source[..., 3]
-    da8 = dest[..., 3]
-    sa = sa8 / 255.0
-    da = da8 / 255.0
-    inv_sa = 1.0 - sa
-    out_a = sa + da * inv_sa
-    # premultiplied ratios exactly as the reference: float(int(v)*a) / 65025
-    src_p = (source[..., :3].astype(np.uint32) * sa8[..., None]) / 65025.0
-    dst_p = (dest[..., :3].astype(np.uint32) * da8[..., None]) / 65025.0
-    out_p = src_p + dst_p * inv_sa[..., None]
-    safe_a = np.where(out_a > 0.0, out_a, 1.0)
-    rgb = np.rint(out_p / safe_a[..., None] * 255.0)
-    np.clip(rgb, 0, 255, out=rgb)
+    sa8 = source[..., 3].astype(np.int32)
+    da8 = dest[..., 3].astype(np.int32)
+    inv = 255 - sa8
+    da_inv = da8 * inv
+    a_num = sa8 * 255 + da_inv  # A: out alpha numerator, ≤ 65025
+    p_num = (
+        source[..., :3].astype(np.int32) * (sa8 * 255)[..., None]
+        + dest[..., :3].astype(np.int32) * da_inv[..., None]
+    )
     out = np.empty_like(source)
-    out[..., :3] = rgb.astype(np.uint8)
-    out[..., 3] = np.clip(np.rint(out_a * 255.0), 0, 255).astype(np.uint8)
+    safe_a = np.where(a_num == 0, 1, a_num).astype(np.float32)
+    out[..., :3] = np.rint(
+        np.true_divide(p_num, safe_a[..., None], dtype=np.float32)
+    ).astype(np.uint8)
+    # A/255 never lands exactly on .5, so half-even == half-up == this
+    # exact integer rounding
+    out[..., 3] = ((2 * a_num + 255) // 510).astype(np.uint8)
     # fast paths (exact byte-identical short-circuits of the reference)
     take_src = (sa8 == 255) | ((sa8 != 0) & (da8 == 0))
     take_dst = sa8 == 0
-    return np.where(
-        take_src[..., None], source, np.where(take_dst[..., None], dest, out)
-    )
+    out[take_src] = source[take_src]
+    out[take_dst] = dest[take_dst]
+    return out
 
 
 def composite_darken(source: np.ndarray, dest: np.ndarray) -> np.ndarray:
-    """α_out = 1 − (1−αs)(1−αd); RGB forced black (AlphaCompositing.fs:97-131)."""
-    sa = source[..., 3].astype(np.float64) / 255.0
-    da = dest[..., 3].astype(np.float64) / 255.0
-    out_a = 1.0 - (1.0 - sa) * (1.0 - da)
+    """α_out = 1 − (1−αs)(1−αd); RGB forced black (AlphaCompositing.fs:97-131).
+
+    Integer form: α8 = 255 − rint((255−sa8)(255−da8)/255), exact because
+    the quotient never lands on .5.
+    """
+    num = (255 - source[..., 3].astype(np.int32)) * (
+        255 - dest[..., 3].astype(np.int32)
+    )
     out = np.zeros(source.shape, dtype=np.uint8)
-    out[..., 3] = np.clip(np.round(out_a * 255.0), 0, 255).astype(np.uint8)
+    out[..., 3] = (255 - (2 * num + 255) // 510).astype(np.uint8)
     return out
 
 

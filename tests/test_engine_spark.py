@@ -165,3 +165,30 @@ def test_resume_preserves_halo_correctness(spark, images, tmp_path):
     rgba = codec.decode_rgba_png(bytes(r["png"]))
     y0 = (SPEC.n_tiles_y - 1 - 0) * ts
     assert np.array_equal(rgba, oracle[y0 : y0 + ts, ts : 2 * ts])
+
+
+def test_salted_assembly_matches_unsalted(spark):
+    """Two-phase salted assembly (skew path) must be byte-identical to
+    the plain groupBy(tile) stitch, including lineage counts."""
+    skewed = synth.WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2,
+        tile_size=30, block_size=10, skew_factor=8, skew_every=2,
+    )
+    images_sk = synth.images_df(spark, skewed, num_partitions=4)
+    plain = engine.run_hillshade(spark, images_sk, skewed.tile_size)
+    salted = engine.run_hillshade(
+        spark, images_sk, skewed.tile_size, salt_buckets=4
+    )
+    canon = lambda df: {  # noqa: E731
+        (r["tile_x"], r["tile_y"]): (
+            bytes(r["png"]), r["shaded_px"], r["n_blocks"]
+        )
+        for r in df.collect()
+    }
+    a, b = canon(plain), canon(salted)
+    assert a.keys() == b.keys() and len(a) == 4
+    assert a == b
+    # skewed tiles really carry the duplicate rows in their lineage count
+    n_blocks = {k: v[2] for k, v in a.items()}
+    assert max(n_blocks.values()) == 8 * skewed.blocks_per_tile
+    assert min(n_blocks.values()) == skewed.blocks_per_tile
