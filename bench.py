@@ -128,9 +128,13 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True):
 
             for name in HEADLINE_QUERIES:
                 fn = QUERIES[name]
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                queries[name] = round(time.time() - t0, 3)
+                best = None
+                for _ in range(2):  # best-of-2: sandbox CPU-steal variance
+                    t0 = time.time()
+                    fn(spark, sf_dir).count()
+                    trial = time.time() - t0
+                    best = trial if best is None or trial < best else best
+                queries[name] = round(best, 3)
         return hs, queries
     finally:
         spark.stop()

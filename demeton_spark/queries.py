@@ -10,6 +10,7 @@ floating expressions are rounded where accumulation order could differ.
 
 Operator coverage map (SURVEY.md §2):
   J1  tile cover / assignment      → tile_assign_events, bbox_cover
+  J9  point-in-polygon clip        → polygon_clip
   J6  broadcast tile-metadata join → tile_metadata_join
   J7  pyramid parent↔children join → pyramid_parents
   A5  value histogram              → value_histogram
@@ -216,6 +217,66 @@ select cast(floor(lon) as int) as tile_x,
        cast(max(floor(lon * {SRTM_TS})) as bigint) as max_cell_x,
        cast(max(floor(lat * {SRTM_TS})) as bigint) as max_cell_y
 from pts
+group by 1, 2
+"""
+
+
+# --- J9: point-in-polygon clip (convex polygon via half-plane tests) ---------
+
+#: test polygon: a triangle over Europe (deterministic, off-grid vertices)
+_TRI = ((-10.5, 35.25), (30.25, 40.5), (5.5, 70.75))
+
+
+def _pip_triangle(lon, lat):
+    """Point-in-triangle via three edge cross-product sign tests (the
+    SQL-expressible convex case of geometry.points_in_polygon; the
+    general vectorized crossing-number kernel is the numpy path,
+    reference Geometry/Funcs.fs:9-33 orientation tests)."""
+    import operator
+
+    sides = []
+    pts = list(_TRI)
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
+        cross = (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1)) - (
+            F.lit(y2) - F.lit(y1)
+        ) * (lon - F.lit(x1))
+        sides.append(cross >= 0)
+    import functools
+
+    return functools.reduce(operator.and_, sides)
+
+
+def q_polygon_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip event points to a polygon, roll up per tile (J9 + J1)."""
+    pts = _pts(spark, sf_dir)
+    inside = pts.where(_pip_triangle(F.col("lon"), F.col("lat")))
+    return (
+        inside.select(
+            F.floor(F.col("lon")).cast("int").alias("tile_x"),
+            F.floor(F.col("lat")).cast("int").alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_inside"))
+    )
+
+
+def _sql_pip_triangle() -> str:
+    pts = list(_TRI)
+    terms = []
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
+        terms.append(
+            f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1})) >= 0"
+        )
+    return " and ".join(terms)
+
+
+SQL_POLYGON_CLIP = f"""
+with pts as ({_PTS_SQL})
+select cast(floor(lon) as int) as tile_x,
+       cast(floor(lat) as int) as tile_y,
+       cast(count(*) as bigint) as n_inside
+from pts
+where {_sql_pip_triangle()}
 group by 1, 2
 """
 
@@ -606,7 +667,11 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-Jaccard verification intersects ints.  ``mh0`` is the min of
     ``hwords`` (salt 0); higher salts rehash the string words.
     """
-    docs = _t(spark, sf_dir, "documents")
+    # repartition: documents arrive as one parquet file; interpreted
+    # higher-order hashing on a single core serializes the whole query
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.array_distinct(_words())
 
     def hasher(salt: int):
@@ -635,7 +700,11 @@ def q_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-heavy corpora where even the verified output is quadratic,
     the linear-output form of this operator is ``doc_dedup_clusters``.
     """
-    sig = _doc_signatures(spark, sf_dir)
+    # persist: the minhash keys are higher-order-function expressions
+    # (interpreted, not codegen); without a materialization barrier
+    # Catalyst clones them into pushed not-null filters and both join
+    # sides, re-hashing every word ~9x (measured 53s -> 3s at sf0.1)
+    sig = _doc_signatures(spark, sf_dir).persist()
     band_cols = [f"mh{k}" for k in range(_MINHASH_K)]
     pairs = (
         sig.alias("a")
@@ -805,9 +874,11 @@ def q_doc_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hasher(salt: int):
         return lambda s: _word_hash(s, salt)
 
-    base = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), _words().alias("ws")
-    ).select(F.col("doc_id"), shingles.alias("sh"))
+    base = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), _words().alias("ws"))
+        .select(F.col("doc_id"), shingles.alias("sh"))
+    )
     hs = F.array_sort(F.array_distinct(F.transform(F.col("sh"), hasher(0))))
     cols = [F.col("doc_id"), hs.alias("hsh")]
     for k in range(_MINHASH_K):
@@ -816,7 +887,7 @@ def q_doc_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"mh{k}"
             )
         )
-    sig = base.select(*cols)
+    sig = base.select(*cols).persist()  # same barrier as doc_near_dup_pairs
     band_cols = [f"mh{k}" for k in range(_MINHASH_K)]
     pairs = (
         sig.alias("a")
@@ -1160,6 +1231,7 @@ from emb group by label
 QUERIES = {
     "tile_assign_events": q_tile_assign_events,
     "bbox_cover": q_bbox_cover,
+    "polygon_clip": q_polygon_clip,
     "pyramid_parents": q_pyramid_parents,
     "tile_mbr": q_tile_mbr,
     "value_histogram": q_value_histogram,
@@ -1187,6 +1259,7 @@ QUERIES = {
 ORACLES = {
     "tile_assign_events": SQL_TILE_ASSIGN_EVENTS,
     "bbox_cover": SQL_BBOX_COVER,
+    "polygon_clip": SQL_POLYGON_CLIP,
     "pyramid_parents": SQL_PYRAMID_PARENTS,
     "tile_mbr": SQL_TILE_MBR,
     "value_histogram": SQL_VALUE_HISTOGRAM,
