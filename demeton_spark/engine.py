@@ -424,9 +424,15 @@ def shade_parts(
     )
 
 
-def _pad_from_parts(parts_map: dict, ts: int) -> np.ndarray:
-    """Assemble the (ts+2)² halo-padded block from center + strip parts."""
-    padded = np.full((ts + 2, ts + 2), DEM_HEIGHT_NONE, dtype=np.int16)
+def _pad_from_parts(
+    parts_map: dict, ts: int, fill: int = DEM_HEIGHT_NONE
+) -> np.ndarray:
+    """Assemble the (ts+2)² halo-padded block from center + strip parts.
+
+    ``fill`` is the missing-neighbor value: DEM_HEIGHT_NONE for plain
+    height tiles, 0 for XTH-packed tiles (offset 0 decodes to missing
+    and carries no water bit)."""
+    padded = np.full((ts + 2, ts + 2), fill, dtype=np.int16)
     padded[1:-1, 1:-1] = np.frombuffer(parts_map["C"], dtype="<i2").reshape(ts, ts)
     edges = [
         ("S", (1, ts), lambda p, s: p.__setitem__((0, slice(1, -1)), s[0])),
@@ -463,7 +469,12 @@ SHADE_BAND_ROWS = 128
 
 
 def shade_padded_block(
-    padded: np.ndarray, tile_x: int, tile_y: int, tile_size: int, steps
+    padded: np.ndarray,
+    tile_x: int,
+    tile_y: int,
+    tile_size: int,
+    steps,
+    water: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Numpy core shared by the Spark path and the single-array oracle.
 
@@ -471,6 +482,8 @@ def shade_padded_block(
     (RGBA image in bitmap orientation — row 0 = north, per the Y-flip at
     Hillshading.fs:150-153 — and the shaded-pixel count).  The tile is
     processed in row bands: identical results, bounded temporaries.
+    ``water`` (center-sized bool mask) feeds the water shaders when the
+    tile came from an XTH source (TileShadeCommand.fs:428-473).
     """
     h = padded.shape[0] - 2
     w = padded.shape[1] - 2
@@ -495,7 +508,10 @@ def shade_padded_block(
         )
         slope, aspect = kernels.slope_and_aspect(p, q)
         ctx = pipeline.ShadeContext(
-            heights=f[1:-1, 1:-1], slope=slope, aspect=aspect
+            heights=f[1:-1, 1:-1],
+            slope=slope,
+            aspect=aspect,
+            water=None if water is None else water[r0:r1, :],
         )
         rgba = pipeline.evaluate_steps(steps, ctx)
         shaded += int(np.count_nonzero(rgba[..., 3] > 0))
@@ -536,6 +552,90 @@ def shade_tiles(
             yield pd.DataFrame(rows)
 
     return padded_tiles.mapInPandas(shade, schema=SHADED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# tile-shade: XTH water-bit tiles → fixed pipeline (reference §3.2)
+# ---------------------------------------------------------------------------
+
+#: approximation of TileShadeCommand's hardcoded pipeline
+#: (solid ∘ ((lambert ⊕darken slope ⊕darken igor) over water) —
+#: /root/reference/Demeton/Commands/TileShadeCommand.fs:333-388)
+TILE_SHADE_SCRIPT = (
+    "solid(color=#ffffff)|+lambert|+slope(compose=darken)"
+    "|+igor(compose=darken)|+water|+wateroutline"
+)
+
+
+def run_tile_shade(
+    spark: SparkSession,
+    xth_tiles: DataFrame,
+    tile_size: int,
+    script: str = TILE_SHADE_SCRIPT,
+) -> DataFrame:
+    """XTH-packed tiles (heights + water bit) → shaded PNG tiles.
+
+    Input rows: ``(tile_x, tile_y, xth binary)`` — the packed uint16
+    encoding of codec.encode_xth.  The packed values ride the same halo
+    strip machinery as plain heights (missing-neighbor fill is 0, which
+    decodes to missing-with-no-water); decode happens once per padded
+    tile at shade time, and the water mask feeds the water/wateroutline
+    shader steps.
+    """
+    steps = pipeline.parse_script(script)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ts = tile_size
+        for pdf in batches:
+            frames = []
+            for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["xth"]):
+                packed = np.frombuffer(buf, dtype="<i2").reshape(ts, ts)
+                frames.append(
+                    _emit_center_and_strips(packed, int(tx), int(ty), 1)
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {k: [] for k in ("tile_x", "tile_y", "part", "data", "n_blocks")}
+            )
+
+    parts = xth_tiles.mapInPandas(emit, schema=HALO_PART_LINEAGE_SCHEMA)
+
+    def pad_and_shade(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts_map = dict(zip(pdf["part"], pdf["data"]))
+        if "C" not in parts_map:
+            return pd.DataFrame(
+                columns=["tile_x", "tile_y", "tile_name", "width", "height",
+                         "png", "shaded_px", "total_px", "n_blocks"]
+            )
+        ts = tile_size
+        tile_x = int(pdf["tile_x"].iloc[0])
+        tile_y = int(pdf["tile_y"].iloc[0])
+        padded_packed = _pad_from_parts(parts_map, ts, fill=0)
+        packed_u = padded_packed.view(np.uint16)
+        water_pad = (packed_u >> 15).astype(bool)
+        offs = (packed_u & 0x7FFF).astype(np.int32)
+        heights = np.where(
+            offs == 0, DEM_HEIGHT_NONE, offs + codec._XTH_MIN_HEIGHT
+        ).astype(np.int16)
+        rgba, shaded = shade_padded_block(
+            heights, tile_x, tile_y, ts, steps, water=water_pad[1:-1, 1:-1]
+        )
+        return pd.DataFrame(
+            {
+                "tile_x": [tile_x],
+                "tile_y": [tile_y],
+                "tile_name": [_tile_name(0, tile_x, tile_y)],
+                "width": [ts],
+                "height": [ts],
+                "png": [codec.encode_rgba_png(rgba)],
+                "shaded_px": [shaded],
+                "total_px": [ts * ts],
+                "n_blocks": [1],
+            }
+        )
+
+    return parts.groupBy("tile_x", "tile_y").applyInPandas(
+        pad_and_shade, schema=SHADED_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -192,3 +192,54 @@ def test_salted_assembly_matches_unsalted(spark):
     n_blocks = {k: v[2] for k, v in a.items()}
     assert max(n_blocks.values()) == 8 * skewed.blocks_per_tile
     assert min(n_blocks.values()) == skewed.blocks_per_tile
+
+
+def test_tile_shade_xth_water_pipeline(spark):
+    """XTH tiles (heights + water bit) through the tile-shade pipeline:
+    water pixels get the water color, land gets hillshade, and the
+    heights decode survives the packed halo exchange."""
+    ts = 40
+    world = np.full((2 * ts, 2 * ts), 300, dtype=np.int16)
+    world[10:30, ts - 6 : ts + 6] = -20      # lake across the tile boundary
+    world[5, 5] = DEM_HEIGHT_NONE
+    water = (world <= 0) & (world != DEM_HEIGHT_NONE)
+    rows = []
+    for by in range(2):
+        for bx in range(2):
+            sl = np.s_[by * ts : (by + 1) * ts, bx * ts : (bx + 1) * ts]
+            rows.append(
+                (bx, by, bytearray(codec.encode_xth(world[sl], water[sl])))
+            )
+    df = spark.createDataFrame(rows, "tile_x int, tile_y int, xth binary")
+    # outline-free script so lake pixels carry the pure water color
+    script = ("solid(color=#ffffff)|+lambert|+slope(compose=darken)"
+              "|+igor(compose=darken)|+water")
+    out = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in engine.run_tile_shade(spark, df, ts, script=script).collect()
+    }
+    # default pipeline (with wateroutline) smoke: same tile set, opaque
+    full = engine.run_tile_shade(spark, df, ts).collect()
+    assert len(full) == 4 and all(r["shaded_px"] == ts * ts for r in full)
+    assert len(out) == 4
+    water_rgba = [73, 126, 173, 255]
+    for (tx, ty), r in out.items():
+        rgba = codec.decode_rgba_png(bytes(r["png"]))
+        assert rgba.shape == (ts, ts, 4)
+        # bitmap row 0 = north; world row y maps to bitmap row ts-1-y
+        for y in range(ts):
+            for x in (0, ts // 2, ts - 1):
+                wy, wx = ty * ts + y, tx * ts + x
+                if water[wy, wx]:
+                    assert rgba[ts - 1 - y, x].tolist() == water_rgba, (tx, ty, x, y)
+        # land pixels are opaque (solid background composited)
+        land_bitmap = ~water[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts][::-1]
+        assert (rgba[..., 3][land_bitmap] == 255).all()
+    # the full 240-cell lake is colored across the boundary
+    colored = sum(
+        int(
+            (codec.decode_rgba_png(bytes(r["png"])) == water_rgba).all(axis=-1).sum()
+        )
+        for r in out.values()
+    )
+    assert colored == int(water.sum()) == 20 * 12
