@@ -108,12 +108,31 @@ def _q_tile_isolines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_isolines(tiles, ts, [550.0, 650.0])
 
 
+def _q_shade_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected-raster shade command over the synthetic DEM tile table
+    (rows-only; pixel properties pinned in tests/test_render.py)."""
+    from demeton_spark.geometry import MapScale
+    from demeton_spark.render import render_shaded_raster
+
+    tiles, ts = _synthetic_tiles(spark)
+    pts = [(13.2, 45.2), (14.8, 45.2), (13.2, 46.8), (14.8, 46.8)]
+    out = render_shaded_raster(
+        spark, tiles, pts, MapScale(5_000_000, 96), tile_size=ts,
+        raster_tile_px=64,
+    )
+    return out.select(
+        "rt_x", "rt_y", "width", "height", "shaded_px", "total_px",
+        "n_dem_tiles",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["hillshade_tiles"] = _q_hillshade_tiles
     out["pyramid_downsample"] = _q_pyramid_downsample
     out["water_components"] = _q_water_components
     out["tile_isolines"] = _q_tile_isolines
+    out["shade_raster"] = _q_shade_raster
     return out
 
 
