@@ -263,6 +263,105 @@ def decode_xth(data: bytes, width: int) -> tuple[np.ndarray, np.ndarray]:
     return heights, water
 
 
+# --- minimal TIFF gray16 (AW3D GeoTIFF ingest, no external libs) ----------
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    273: "strip_offsets", 278: "rows_per_strip", 279: "strip_counts",
+    277: "samples_per_pixel", 339: "sample_format",
+}
+
+
+def decode_tiff_gray16(
+    data: bytes, duplicate_to_width: int | None = None
+) -> np.ndarray:
+    """Uncompressed strip-based single-sample int16 TIFF → south-up array.
+
+    Pure-numpy reimplementation of the AW3D reader's semantics
+    (/root/reference/Demeton/Aw3d/Funcs.fs:180-261): scanlines are
+    north-first in the file and land in reverse row order; half-width
+    (high-latitude) tiles duplicate each column when
+    ``duplicate_to_width`` is given.  Both endiannesses supported;
+    compressed or multi-sample files are rejected.
+    """
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    u16 = lambda off: int(np.frombuffer(data, f"{bo}u2", 1, off)[0])  # noqa: E731
+    u32 = lambda off: int(np.frombuffer(data, f"{bo}u4", 1, off)[0])  # noqa: E731
+    if u16(2) != 42:
+        raise ValueError("not a TIFF: bad magic")
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + i * 12
+        tag, typ, count = u16(e), u16(e + 2), u32(e + 4)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        if size * count <= 4:
+            off = e + 8
+        else:
+            off = u32(e + 8)
+        rd = {1: "u1", 3: "u2", 4: "u4"}[typ]
+        vals = np.frombuffer(data, f"{bo}{rd}", count, off).tolist()
+        if tag in _TIFF_TAGS:
+            tags[_TIFF_TAGS[tag]] = [int(v) for v in vals]
+    w, h = tags["width"][0], tags["height"][0]
+    if tags.get("compression", [1])[0] != 1:
+        raise ValueError("compressed TIFF not supported")
+    if tags.get("bits", [16])[0] != 16 or tags.get("samples_per_pixel", [1])[0] != 1:
+        raise ValueError("expected single-sample 16-bit TIFF")
+    signed = tags.get("sample_format", [2])[0] == 2
+    dt = f"{bo}i2" if signed else f"{bo}u2"
+    rows_per_strip = tags.get("rows_per_strip", [h])[0]
+    rows = []
+    for si, off in enumerate(tags["strip_offsets"]):
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        rows.append(
+            np.frombuffer(data, dt, n_rows * w, off).reshape(n_rows, w)
+        )
+    north_up = np.concatenate(rows).astype(np.int16)
+    south_up = north_up[::-1, :]  # reverse row order (Funcs.fs:219-222)
+    if duplicate_to_width is not None and w != duplicate_to_width:
+        if duplicate_to_width != 2 * w:
+            raise ValueError("can only duplicate half-width tiles")
+        south_up = np.repeat(south_up, 2, axis=1)  # column doubling (:242-245)
+    return south_up
+
+
+def encode_tiff_gray16(heights_south_up: np.ndarray) -> bytes:
+    """Minimal little-endian uncompressed int16 TIFF (one strip), rows
+    north-first — the inverse of :func:`decode_tiff_gray16` for tests
+    and sinks."""
+    north_up = np.ascontiguousarray(heights_south_up[::-1, :]).astype("<i2")
+    h, w = north_up.shape
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, h * w * 2), (339, 3, 1, 2),
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + len(entries) * 12 + 4
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        if tag == 273:
+            value = data_off
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", value) if typ == 4 else struct.pack(
+            "<HH", value, 0
+        )
+    out += struct.pack("<I", 0)  # next IFD
+    out += north_up.tobytes()
+    return bytes(out)
+
+
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
     """Peak signal-to-noise ratio in dB (∞ for identical arrays)."""
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))

