@@ -1,0 +1,73 @@
+"""Acceptance parity with the reference CLI.
+
+The tutorial (/root/reference/docs/Tutorial.md:28-33) runs
+``shade 13.49437,46.159668,14.236633,46.543914 --map-scale 1500000``
+and logs "a total raster size of 650x488 pixels (1x1 tiles)".  Our
+projection + MBR math must reproduce those dimensions exactly, and the
+full pipeline over a synthetic DEM world must color the raster like the
+reference's acceptance run (exit 0 + output tile ≈ completed job with
+fully shaded pixels).  Also guards the physical-plan shapes the engine
+depends on (pushdown, broadcast).
+"""
+
+import numpy as np
+
+from demeton_spark import render
+from demeton_spark.geometry import MapScale, Mercator
+
+TUTORIAL_BBOX = (13.49437, 46.159668, 14.236633, 46.543914)
+TUTORIAL_PTS = [
+    (TUTORIAL_BBOX[0], TUTORIAL_BBOX[1]),
+    (TUTORIAL_BBOX[2], TUTORIAL_BBOX[1]),
+    (TUTORIAL_BBOX[0], TUTORIAL_BBOX[3]),
+    (TUTORIAL_BBOX[2], TUTORIAL_BBOX[3]),
+]
+#: map-scale 1:1.5M at the reference's DefaultDpi=300
+#: (ShadeCommand.fs:71)
+TUTORIAL_SCALE = MapScale(1_500_000, 300)
+
+
+def test_tutorial_raster_size_matches_reference_log():
+    mbr = render.raster_mbr(Mercator(TUTORIAL_SCALE), TUTORIAL_PTS)
+    assert (mbr[2] - mbr[0], mbr[3] - mbr[1]) == (650, 488)
+
+
+def test_tutorial_shade_run(spark):
+    """The tutorial shade over a synthetic N46E013/N46E014 world: one
+    1000px raster tile, every pixel elevation-colored (the reference's
+    'elevation colorer colors all pixels' acceptance shape)."""
+    ts = 60
+    rows = []
+    for tx in (13, 14):
+        tile = np.full((ts, ts), 800, dtype=np.int16)
+        rows.append((tx, 46, bytearray(tile.tobytes())))
+    dem = spark.createDataFrame(rows, "tile_x int, tile_y int, heights binary")
+    out = render.render_shaded_raster(
+        spark, dem, TUTORIAL_PTS, TUTORIAL_SCALE,
+        script="elecolor|+igor", tile_size=ts,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (650, 488)
+    assert r["shaded_px"] == r["total_px"] == 650 * 488
+    assert r["n_dem_tiles"] == 2  # N46E013 + N46E014, like the tutorial log
+
+
+def test_plan_shapes(spark):
+    """Catalyst must push the shipdate filter into the parquet scan and
+    broadcast the tile-metadata dimension (SURVEY.md §4 checkpoints)."""
+    import contextlib
+    import io
+
+    from demeton_spark.queries import q_pricing_summary, q_tile_metadata_join
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p1 = plan_of(q_pricing_summary(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in p1 and "l_shipdate" in p1.split("PushedFilters")[1][:200]
+    p2 = plan_of(q_tile_metadata_join(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p2 or "BroadcastExchange" in p2
