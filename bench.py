@@ -89,8 +89,8 @@ def run_hillshade_bench(spark, spec: WorldSpec, images_path: str) -> dict:
 
     images = spark.read.parquet(images_path)
     elapsed, agg = None, None
-    for _ in range(2):  # take the best of 2: the sandbox has heavy
-        t0 = time.time()  # CPU-steal variance (2-3× between trials)
+    for _ in range(3):  # take the best of 3: the sandbox has heavy
+        t0 = time.time()  # CPU-steal variance (3× between trials)
         shaded = run_hillshade(spark, images, spec.tile_size, script="elecolor|+igor")
         trial_agg = shaded.agg(
             F.count("*").alias("tiles"),

@@ -340,6 +340,65 @@ def _node_id_col(tx: str, ty: str, label: str):
     )
 
 
+WORLDCOVER_WATER_CLASS = 80  # WorldCover/Funcs.fs:12-21
+
+XTH_TILE_SCHEMA = "tile_x int, tile_y int, xth binary"
+
+
+def build_xth_tiles(
+    dem_tiles: DataFrame,
+    water_class_tiles: DataFrame,
+    tile_size: int,
+    water_size: int,
+    water_class: int = WORLDCOVER_WATER_CLASS,
+) -> DataFrame:
+    """The ``dem-with-water-bodies`` ETL: DEM tiles ⋈ water-class tiles →
+    XTH tiles with the water flag packed into the height MSB.
+
+    Reference lifecycle (/root/reference/Demeton/Commands/
+    DemWithWaterBodiesCommand.fs:192-262): per tile, the WorldCover
+    class raster becomes a water monochrome (class ``water_class`` → 1,
+    WorldCover/Funcs.fs:12-21), majority-downsamples onto the DEM grid
+    (WaterBodies/Funcs.fs:9-64), and packs with the heights
+    (Xth.encodeWaterBodiesInfoIntoDem).  Tiles absent from the water
+    table get an all-land water mask (the reference's ``.none`` negative
+    cache becomes the left join's null side).
+
+    ``dem_tiles``: (tile_x, tile_y, heights binary int16 ts²);
+    ``water_class_tiles``: (tile_x, tile_y, classes binary uint8
+    water_size²).
+    """
+    joined = dem_tiles.join(
+        water_class_tiles.withColumnRenamed("classes", "wc"),
+        on=["tile_x", "tile_y"],
+        how="left",
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codec
+        from .kernels import resample_majority_binary
+
+        ts = tile_size
+        for pdf in batches:
+            out: dict[str, list] = {"tile_x": [], "tile_y": [], "xth": []}
+            for r in pdf.itertuples():
+                heights = np.frombuffer(r.heights, dtype="<i2").reshape(ts, ts)
+                if r.wc is None:
+                    mask = np.zeros((ts, ts), dtype=bool)
+                else:
+                    classes = np.frombuffer(r.wc, dtype=np.uint8).reshape(
+                        water_size, water_size
+                    )
+                    mono = (classes == water_class).astype(np.int16)
+                    mask = resample_majority_binary(mono, ts, ts).astype(bool)
+                out["tile_x"].append(int(r.tile_x))
+                out["tile_y"].append(int(r.tile_y))
+                out["xth"].append(codec.encode_xth(heights, mask))
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(pack, schema=XTH_TILE_SCHEMA)
+
+
 def visible_components(components: DataFrame,
                        min_area: int = 1250,
                        max_bbox_ratio: float = 10.0) -> DataFrame:

@@ -197,3 +197,59 @@ def test_water_shader_steps():
     steps2 = pipeline.parse_script("solid(color=#ffffff)|+wateroutline")
     img2 = pipeline.evaluate_steps(steps2, ctx)
     assert img2.shape == (2, 2, 4)
+
+
+def test_build_xth_tiles_end_to_end(spark):
+    """WorldCover-style classes → majority-resampled water → XTH pack →
+    decode round-trip, including the all-land left-join fallback — and
+    the packed tiles feed run_tile_shade."""
+    from demeton_spark import codec, engine
+    from demeton_spark.kernels import resample_majority_binary
+
+    ts, ws = 8, 16
+    heights = np.arange(ts * ts, dtype=np.int16).reshape(ts, ts)
+    classes = np.zeros((ws, ws), dtype=np.uint8)
+    classes[0:8, 0:8] = 80          # water quarter (class 80)
+    classes[0, 8] = 80              # minority pixel → no water after resample
+    dem = spark.createDataFrame(
+        [
+            (0, 0, bytearray(heights.tobytes())),
+            (1, 0, bytearray(heights.tobytes())),  # no water row → all land
+        ],
+        "tile_x int, tile_y int, heights binary",
+    )
+    wc = spark.createDataFrame(
+        [(0, 0, bytearray(classes.tobytes()))],
+        "tile_x int, tile_y int, classes binary",
+    )
+    out = {
+        (r["tile_x"], r["tile_y"]): bytes(r["xth"])
+        for r in water.build_xth_tiles(dem, wc, ts, ws).collect()
+    }
+    h0, w0 = codec.decode_xth(out[(0, 0)], ts)
+    assert np.array_equal(h0, heights)
+    want_mask = resample_majority_binary(
+        (classes == 80).astype(np.int16), ts, ts
+    ).astype(bool)
+    assert np.array_equal(w0, want_mask)
+    assert want_mask[:4, :4].all() and not want_mask[0, 4]
+    h1, w1 = codec.decode_xth(out[(1, 0)], ts)
+    assert np.array_equal(h1, heights) and not w1.any()
+
+    # chain: the produced XTH tiles shade end-to-end with water coloring
+    xdf = spark.createDataFrame(
+        [(tx, ty, bytearray(b)) for (tx, ty), b in out.items()],
+        "tile_x int, tile_y int, xth binary",
+    )
+    shaded = engine.run_tile_shade(
+        spark, xdf, ts,
+        script="solid(color=#ffffff)|+igor(compose=darken)|+water",
+    ).collect()
+    assert len(shaded) == 2
+    for r in shaded:
+        rgba = codec.decode_rgba_png(bytes(r["png"]))
+        n_water_px = int(
+            (rgba == np.array([73, 126, 173, 255])).all(axis=-1).sum()
+        )
+        want = int(want_mask.sum()) if r["tile_x"] == 0 else 0
+        assert n_water_px == want
