@@ -45,17 +45,28 @@ WORLD_BY_SF = {
 HEADLINE_QUERIES = [
     "tile_assign_events",
     "tile_metadata_join",
+    "bbox_cover",
+    "polygon_clip",
     "pyramid_parents",
+    "tile_mbr",
+    "value_histogram",
     "pricing_summary",
     "top_revenue_orders",
+    "region_rollup",
+    "events_top_event",
     "events_sessionize",
     "doc_exact_dedup",
     "doc_minhash",
     "doc_near_dup_pairs",
     "doc_token_stats",
+    "doc_lang_quality",
+    "doc_simhash",
+    "doc_fingerprint",
     "doc_ngram_near_dup",
     "knn_bruteforce",
     "knn_ivf_bucketed",
+    "emb_near_dup_pairs",
+    "embedding_label_stats",
 ]
 
 
