@@ -88,6 +88,50 @@ def session_counts(
     )
 
 
+USER_STATS_SCHEMA = (
+    "user_id long, n_events long, sum_value double, max_value double"
+)
+_USER_STATE_SCHEMA = "n long, s double, m double"
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) over ``value``, emitting the updated
+    aggregate every micro-batch.
+
+    This is the escape hatch for stateful logic the built-in
+    window/session operators can't express; state is one tiny tuple per
+    user, managed by Spark's state store (checkpointed, exactly-once).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "max_value": [m],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

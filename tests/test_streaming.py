@@ -79,3 +79,43 @@ def test_session_windows_stream_equals_batch(spark, events_dir, tmp_path):
         per_user.setdefault(r["user_id"], 0)
         per_user[r["user_id"]] += 1
     assert per_user == {1: 2, 2: 2}
+
+
+def test_stateful_running_user_stats(spark, events_dir, tmp_path):
+    """applyInPandasWithState custom operator: the final per-user state
+    after draining the stream equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    stream_in = streaming.read_events_stream(spark, events_dir)
+    out = streaming.run_to_memory(
+        streaming.running_user_stats(stream_in),
+        "user_stats",
+        str(tmp_path / "ckpt3"),
+        output_mode="update",
+    )
+    # update mode re-emits per batch: keep the last emission per user
+    last = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .collect()
+    )
+    batch = (
+        spark.read.schema(streaming.EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    )
+    canon = lambda rows: sorted(  # noqa: E731
+        (r["user_id"], r["n_events"], round(r["sum_value"], 9), r["max_value"])
+        for r in rows
+    )
+    assert canon(last) == canon(batch)
