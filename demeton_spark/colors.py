@@ -155,17 +155,24 @@ class ColorScale:
             object.__setattr__(self, "_lut", lut)  # frozen dataclass cache
         return lut
 
-    def colorize(self, heights: np.ndarray, missing_mask: np.ndarray) -> np.ndarray:
+    def colorize(
+        self,
+        heights: np.ndarray,
+        missing_mask: np.ndarray,
+        assume_int16: bool = False,
+    ) -> np.ndarray:
         """Vectorized lookup: float heights (H,W) → RGBA (H,W,4) uint8.
 
         Integral int16-range heights (the tile pipeline's case) gather
         from the cached LUT; anything else falls back to np.interp per
         channel.  Both paths reproduce the clamped piecewise-linear
-        lookup with mixColors' truncating byte cast.
+        lookup with mixColors' truncating byte cast.  ``assume_int16``
+        skips the integrality scan when the caller guarantees the
+        heights came straight from an int16 grid (engine tile path).
         """
         flat = np.nan_to_num(heights, nan=0.0).ravel()
         fi = flat.astype(np.int32)
-        if (
+        if assume_int16 or (
             flat.size
             and flat.dtype.kind == "f"
             and np.array_equal(fi, flat)

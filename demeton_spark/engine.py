@@ -512,6 +512,7 @@ def shade_padded_block(
             slope=slope,
             aspect=aspect,
             water=None if water is None else water[r0:r1, :],
+            heights_are_int16=True,  # straight from the int16 grid
         )
         rgba = pipeline.evaluate_steps(steps, ctx)
         shaded += int(np.count_nonzero(rgba[..., 3] > 0))

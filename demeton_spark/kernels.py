@@ -232,11 +232,11 @@ def shade_aspect(
 
 
 def shade_elevation(
-    heights: np.ndarray, scale: ColorScale
+    heights: np.ndarray, scale: ColorScale, assume_int16: bool = False
 ) -> np.ndarray:
     """Elevation coloring over a float block, NaN → none-color
     (ElevationColoring.fs:143-181)."""
-    return scale.colorize(heights, np.isnan(heights))
+    return scale.colorize(heights, np.isnan(heights), assume_int16=assume_int16)
 
 
 def solid_background(
@@ -267,7 +267,23 @@ def composite_over(source: np.ndarray, dest: np.ndarray) -> np.ndarray:
     scale (float64 triples the bandwidth per band).
     """
     sa8 = source[..., 3].astype(np.int32)
-    da8 = dest[..., 3].astype(np.int32)
+    da8 = dest[..., 3]
+    if (da8 == 255).all():
+        # opaque destination (the dominant case: shading over an opaque
+        # base layer): A is the constant 65025, so the division becomes
+        # rgb = rint((src·sa + dst·(255−sa)) / 255) with a constant
+        # divisor — exact, since x/255 never lands on .5 for integer x
+        inv = (255 - sa8)[..., None]
+        num = (
+            source[..., :3].astype(np.int32) * sa8[..., None]
+            + dest[..., :3].astype(np.int32) * inv
+        )
+        out = np.empty_like(source)
+        out[..., :3] = np.rint(num * np.float32(1.0 / 255.0)).astype(np.uint8)
+        out[..., 3] = 255
+        np.copyto(out, source, where=(sa8 == 255)[..., None])
+        return out
+    da8 = da8.astype(np.int32)
     inv = 255 - sa8
     da_inv = da8 * inv
     a_num = sa8 * 255 + da_inv  # A: out alpha numerator, ≤ 65025
@@ -284,10 +300,9 @@ def composite_over(source: np.ndarray, dest: np.ndarray) -> np.ndarray:
     # exact integer rounding
     out[..., 3] = ((2 * a_num + 255) // 510).astype(np.uint8)
     # fast paths (exact byte-identical short-circuits of the reference)
-    take_src = (sa8 == 255) | ((sa8 != 0) & (da8 == 0))
-    take_dst = sa8 == 0
-    out[take_src] = source[take_src]
-    out[take_dst] = dest[take_dst]
+    take_src = ((sa8 == 255) | ((sa8 != 0) & (da8 == 0)))[..., None]
+    np.copyto(out, source, where=take_src)
+    np.copyto(out, dest, where=(sa8 == 0)[..., None])
     return out
 
 

@@ -100,13 +100,16 @@ class ShadeContext:
     slope/aspect in radians, NaN where any 3×3 neighbor was missing.
     ``water`` is an optional bool mask for the water shaders (the
     reference wires these as CustomShading steps over the XTH water bit,
-    TileShadeCommand.fs:428-494).
+    TileShadeCommand.fs:428-494).  ``heights_are_int16`` lets elecolor
+    take the LUT-gather path without an integrality scan (true on the
+    tile-grid path, false for bilinear projected heights).
     """
 
     heights: np.ndarray
     slope: np.ndarray
     aspect: np.ndarray
     water: np.ndarray | None = None
+    heights_are_int16: bool = False
 
 
 def _color(params: dict, key: str, default):
@@ -157,7 +160,9 @@ def _shade_elecolor(ctx: ShadeContext, params: dict) -> np.ndarray:
     scale = (
         parse_color_scale(params["scale"]) if "scale" in params else MAPERITIVE_SCALE
     )
-    return kernels.shade_elevation(ctx.heights, scale)
+    return kernels.shade_elevation(
+        ctx.heights, scale, assume_int16=ctx.heights_are_int16
+    )
 
 
 def _shade_solid(ctx: ShadeContext, params: dict) -> np.ndarray:
