@@ -451,6 +451,191 @@ def _pad_from_parts(
 
 
 # ---------------------------------------------------------------------------
+# single-shuffle fused pipeline (the production path)
+# ---------------------------------------------------------------------------
+#
+# assemble_parts → shade_parts moves every assembled tile (uncompressed
+# int16, ~26 MB at 3600²) through a second exchange + two extra Arrow
+# crossings.  The fused topology below cuts the halo strips from the
+# EDGE BLOCKS before any shuffle (narrow map over ~the border fraction
+# of input rows), unions them with the raw block stream, and lets ONE
+# groupBy(destination tile) bring together everything a tile needs:
+# its own blocks (still source-compressed) plus its neighbors' 1-px
+# edge contributions.  Assembly, halo padding, shading and PNG encode
+# then run in a single task — one full-data shuffle end-to-end, and
+# the bytes that cross it stay compressed.
+
+UNIFIED_PART_SCHEMA = (
+    "tile_x int, tile_y int, part string, bx int, by int, image_id string, "
+    "w int, h int, fmt string, data binary"
+)
+
+#: (edge predicate, dest offset, part name, cut of the decoded block)
+#: — block-level version of _STRIP_SPEC: a block on its tile's border
+#: contributes the 1-px strip the neighbor needs for halo padding.
+_BLOCK_STRIP_SPEC = [
+    (lambda bx, by, nx, ny: by == ny - 1, (0, 1), "S", lambda b: b[-1:, :]),
+    (lambda bx, by, nx, ny: by == 0, (0, -1), "N", lambda b: b[:1, :]),
+    (lambda bx, by, nx, ny: bx == nx - 1, (1, 0), "W", lambda b: b[:, -1:]),
+    (lambda bx, by, nx, ny: bx == 0, (-1, 0), "E", lambda b: b[:, :1]),
+    (lambda bx, by, nx, ny: bx == nx - 1 and by == ny - 1, (1, 1), "SW",
+     lambda b: b[-1:, -1:]),
+    (lambda bx, by, nx, ny: bx == 0 and by == ny - 1, (-1, 1), "SE",
+     lambda b: b[-1:, :1]),
+    (lambda bx, by, nx, ny: bx == nx - 1 and by == 0, (1, -1), "NW",
+     lambda b: b[:1, -1:]),
+    (lambda bx, by, nx, ny: bx == 0 and by == 0, (-1, -1), "NE",
+     lambda b: b[:1, :1]),
+]
+
+
+def emit_block_strips(assigned: DataFrame, tile_size: int) -> DataFrame:
+    """Narrow stage: border blocks → 1-px strip rows keyed by the
+    neighbor tile that needs them (fmt='raw', int16 LE cells).
+
+    The Catalyst filter keeps interior blocks out of the Python worker
+    entirely; only the border fraction of the input is decoded twice.
+    Strip rows keep the sender's ``(by, bx, image_id)`` so the receiver
+    can replay the deterministic overwrite order (§4.3).
+    """
+    edge = assigned.where(
+        (F.col("bx") == 0)
+        | (F.col("by") == 0)
+        | ((F.col("bx") + 1) * F.col("w") >= tile_size)
+        | ((F.col("by") + 1) * F.col("h") >= tile_size)
+    )
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("tile_x", "tile_y", "part", "bx", "by", "image_id",
+                "w", "h", "fmt", "data")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for tx, ty, iid, fmt, payload, w, h, bx, by in zip(
+                pdf["tile_x"], pdf["tile_y"], pdf["image_id"], pdf["fmt"],
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["bx"], pdf["by"],
+            ):
+                w, h, bx, by = int(w), int(h), int(bx), int(by)
+                nx, ny = tile_size // w, tile_size // h
+                block = None
+                for on_edge, (dx, dy), part, strip_cut in _BLOCK_STRIP_SPEC:
+                    if not on_edge(bx, by, nx, ny):
+                        continue
+                    if block is None:
+                        block = _decode_block(fmt, payload, w)
+                    out["tile_x"].append(int(tx) + dx)
+                    out["tile_y"].append(int(ty) + dy)
+                    out["part"].append(part)
+                    out["bx"].append(bx)
+                    out["by"].append(by)
+                    out["image_id"].append(iid)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["fmt"].append("raw")
+                    out["data"].append(
+                        np.ascontiguousarray(strip_cut(block)).tobytes()
+                    )
+            yield pd.DataFrame(out)
+
+    return edge.mapInPandas(cut, schema=UNIFIED_PART_SCHEMA)
+
+
+def hillshade_parts(assigned: DataFrame, tile_size: int) -> DataFrame:
+    """Blocks + their neighbors' strip contributions, keyed by the
+    destination tile — the single-shuffle input of :func:`shade_unified`."""
+    blocks = assigned.select(
+        "tile_x", "tile_y", F.lit("B").alias("part"), "bx", "by",
+        "image_id", "w", "h", "fmt", F.col("bytes").alias("data"),
+    )
+    return blocks.unionByName(emit_block_strips(assigned, tile_size))
+
+
+#: placement of a received strip into the (ts+2)² padded array:
+#: part → (row slice fn, col slice fn) given (bx, by, w, h, ts)
+def _place_strip(padded: np.ndarray, part: str, cells: np.ndarray,
+                 bx: int, by: int, w: int, h: int, ts: int) -> None:
+    x0, y0 = 1 + bx * w, 1 + by * h
+    if part == "S":
+        padded[0, x0 : x0 + w] = cells
+    elif part == "N":
+        padded[ts + 1, x0 : x0 + w] = cells
+    elif part == "W":
+        padded[y0 : y0 + h, 0] = cells
+    elif part == "E":
+        padded[y0 : y0 + h, ts + 1] = cells
+    elif part == "SW":
+        padded[0, 0] = cells[0]
+    elif part == "SE":
+        padded[0, ts + 1] = cells[0]
+    elif part == "NW":
+        padded[ts + 1, 0] = cells[0]
+    elif part == "NE":
+        padded[ts + 1, ts + 1] = cells[0]
+
+
+def shade_unified(
+    parts: DataFrame, tile_size: int, script: str,
+    fill: int = DEM_HEIGHT_NONE,
+) -> DataFrame:
+    """One grouped task per tile: stitch blocks, apply neighbor strips
+    into the 1-px halo, Horn + shaders, PNG encode.  ``parts`` comes
+    from :func:`hillshade_parts`; groups with no center blocks (strips
+    sent past the world edge) produce nothing."""
+    steps = pipeline.parse_script(script)
+
+    def assemble_pad_shade(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_block = pdf["part"] == "B"
+        blocks = pdf[is_block]
+        if blocks.empty:
+            return pd.DataFrame(
+                columns=["tile_x", "tile_y", "tile_name", "width", "height",
+                         "png", "shaded_px", "total_px", "n_blocks"]
+            )
+        ts = tile_size
+        tile_x = int(pdf["tile_x"].iloc[0])
+        tile_y = int(pdf["tile_y"].iloc[0])
+        padded = np.full((ts + 2, ts + 2), fill, dtype=np.int16)
+        blocks = blocks.sort_values(["by", "bx", "image_id"])
+        for fmt, payload, w, h, bx, by in zip(
+            blocks["fmt"], blocks["data"], blocks["w"], blocks["h"],
+            blocks["bx"], blocks["by"],
+        ):
+            block = _decode_block(fmt, payload, int(w))
+            y0, x0 = 1 + int(by) * int(h), 1 + int(bx) * int(w)
+            padded[y0 : y0 + int(h), x0 : x0 + int(w)] = block
+        strips = pdf[~is_block]
+        if not strips.empty:
+            # replay the same (by, bx, image_id) overwrite order the
+            # sender's assembly used, so duplicate edge blocks resolve
+            # identically on both sides of the tile boundary
+            strips = strips.sort_values(["by", "bx", "image_id"])
+            for part, payload, w, h, bx, by in zip(
+                strips["part"], strips["data"], strips["w"], strips["h"],
+                strips["bx"], strips["by"],
+            ):
+                cells = np.frombuffer(payload, dtype="<i2")
+                _place_strip(padded, part, cells, int(bx), int(by),
+                             int(w), int(h), ts)
+        rgba, shaded = shade_padded_block(padded, tile_x, tile_y, ts, steps)
+        return pd.DataFrame(
+            {
+                "tile_x": [tile_x],
+                "tile_y": [tile_y],
+                "tile_name": [_tile_name(0, tile_x, tile_y)],
+                "width": [ts],
+                "height": [ts],
+                "png": [codec.encode_rgba_png(rgba)],
+                "shaded_px": [shaded],
+                "total_px": [ts * ts],
+                "n_blocks": [int(is_block.sum())],
+            }
+        )
+
+    return parts.groupBy("tile_x", "tile_y").applyInPandas(
+        assemble_pad_shade, schema=SHADED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # 4. shading (W1-W3 + §2.8 shaders, vectorized per tile)
 # ---------------------------------------------------------------------------
 
@@ -663,19 +848,29 @@ def run_hillshade(
     """
     assigned = parse_caption(images)
     if salt_buckets and salt_buckets > 1:
+        # two-phase salted assembly for pathological per-tile skew keeps
+        # the two-stage topology (partial mosaics need their own shuffle)
         parts = assemble_parts_salted(assigned, tile_size, salt_buckets)
+        if output_dir is not None and resume:
+            done = _read_manifest(spark, output_dir)
+            if done is not None:
+                parts = parts.join(
+                    F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
+                )
+        shaded = shade_parts(parts, tile_size, script)
     else:
-        parts = assemble_parts(assigned, tile_size)
-    if output_dir is not None and resume:
-        done = _read_manifest(spark, output_dir)
-        if done is not None:
-            # anti-join on the DESTINATION tile key, after strip emission:
-            # completed tiles still contribute halo strips to incomplete
-            # neighbors (dropping them earlier would corrupt resumed edges)
-            parts = parts.join(
-                F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
-            )
-    shaded = shade_parts(parts, tile_size, script)
+        parts = hillshade_parts(assigned, tile_size)
+        if output_dir is not None and resume:
+            done = _read_manifest(spark, output_dir)
+            if done is not None:
+                # anti-join on the DESTINATION tile key, after strip
+                # emission: completed tiles still contribute halo strips
+                # to incomplete neighbors (dropping them earlier would
+                # corrupt resumed edges)
+                parts = parts.join(
+                    F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
+                )
+        shaded = shade_unified(parts, tile_size, script)
     if output_dir is not None:
         shaded.write.mode("append").parquet(output_dir)
         return spark.read.parquet(output_dir)
