@@ -61,6 +61,8 @@ HEADLINE_QUERIES = [
     "doc_token_stats",
     "doc_lang_quality",
     "doc_simhash",
+    "doc_simhash_near_dup",
+    "image_phash_dedup",
     "doc_fingerprint",
     "doc_ngram_near_dup",
     "knn_bruteforce",
@@ -213,8 +215,9 @@ def write_baseline_md(sf: float, results: dict, eff_2_8: float, eff_8_32: float)
 Same job, same input (deterministic synthetic image table, SF={sf},
 {results[32]['megapixels']} Mpx over {results[32]['tiles']} tiles of
 1800²), end-to-end hillshade pipeline (read parquet → caption-parse
-assignment → tile assembly+halo strips → pad → Horn + elecolor|+igor
-shading → PNG encode → metrics aggregate).  ``local[N]`` is the sandbox
+assignment → block-edge strip emission → ONE shuffle keyed by
+destination tile → fused assemble+halo-pad+Horn+elecolor|+igor shade →
+PNG encode → metrics aggregate).  ``local[N]`` is the sandbox
 proxy for an N-executor cluster (BASELINE.json north_rule); each cell is
 the best of 2 trials (the sandbox shows 2-3× CPU-steal variance).
 

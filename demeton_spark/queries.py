@@ -1224,6 +1224,89 @@ from emb group by label
 """
 
 
+def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4-bit band bucket-join + Hamming verify.
+
+    Completes the SimHash dedup family (fingerprint → candidate pairs):
+    each 16-bit simhash splits into four 4-bit bands; by pigeonhole any
+    pair with Hamming distance ≤ 3 shares at least one band, so the
+    band equi-join finds every pair at the ≤ 2 report threshold.  The
+    join key packs (band index, band value) into one int — a plain
+    shuffle equi-join that scales to 10^9 docs (candidates per bucket
+    ~ docs/2^4 per band at worst; real simhash buckets are sparse).
+    """
+    sig = q_doc_simhash(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 4 * b)
+            .bitwiseAND(F.lit(15))
+            .cast("int")
+            + F.lit(16 * b)
+            for b in range(4)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(band_keys).alias("bk")
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on="bk", how="inner")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 2)
+        .distinct()  # a pair matching in several bands appears once
+    )
+
+
+SQL_DOC_SIMHASH_NEAR_DUP = f"""
+with sig as ({SQL_DOC_SIMHASH}),
+banded as (
+  select doc_id, simhash,
+         cast(((simhash >> (4 * t.b)) & 15) + 16 * t.b as int) as bk
+  from sig cross join (select unnest(generate_series(0, 3)) as b) t
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+from banded a join banded b using (bk)
+where a.doc_id < b.doc_id
+  and bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup on the input-hint ``phash`` column (rows-only).
+
+    The images table (BASELINE.json input_hint) carries a perceptual
+    hash per row; the synthetic generator's land-tile skew duplicates
+    block images under fresh image_ids, so grouping by phash is the
+    image-level twin of ``doc_exact_dedup``: keep the lexicographically
+    first image_id, count the copies.  At 10^12 images this is one
+    hash-aggregate shuffle on an int64 key — the cheapest possible
+    dedup pass, and the reason the input schema carries phash at all.
+    """
+    from demeton_spark.synth import WorldSpec, images_df
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60,
+        block_size=20, skew_factor=3,
+    )
+    imgs = images_df(spark, spec)
+    return (
+        imgs.groupBy("phash")
+        .agg(
+            F.min("image_id").alias("keep_id"),
+            F.count("*").cast("int").alias("copies"),
+        )
+        .select("phash", "keep_id", "copies")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1248,7 +1331,9 @@ QUERIES = {
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_near_dup": q_doc_simhash_near_dup,
     "doc_ngram_near_dup": q_doc_ngram_near_dup,
+    "image_phash_dedup": q_image_phash_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf_bucketed": q_knn_ivf_bucketed,
@@ -1276,6 +1361,7 @@ ORACLES = {
     "doc_near_dup_pairs": SQL_DOC_NEAR_DUP_PAIRS,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_simhash": SQL_DOC_SIMHASH,
+    "doc_simhash_near_dup": SQL_DOC_SIMHASH_NEAR_DUP,
     "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,

@@ -243,3 +243,24 @@ def test_tile_shade_xth_water_pipeline(spark):
         for r in out.values()
     )
     assert colored == int(water.sum()) == 20 * 12
+
+
+def test_image_phash_dedup_invariants(spark):
+    """Exact image dedup by the input-hint phash column: every input row
+    lands in exactly one group, keep_id is the lexicographic min, and
+    duplicate blocks (the synthetic land-tile skew) collapse."""
+    from demeton_spark.queries import q_image_phash_dedup
+    from demeton_spark.synth import WorldSpec, images_df
+
+    out = q_image_phash_dedup(spark, "unused").toPandas()
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60,
+        block_size=20, skew_factor=3,
+    )
+    src = images_df(spark, spec).select("image_id", "phash").toPandas()
+    assert out["copies"].sum() == len(src)          # partition of the input
+    assert out["phash"].is_unique
+    expected_keep = src.groupby("phash")["image_id"].min()
+    got_keep = out.set_index("phash")["keep_id"]
+    assert got_keep.sort_index().equals(expected_keep.sort_index())
+    assert (out["copies"] >= 1).all() and (out["copies"] > 1).any()
