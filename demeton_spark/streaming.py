@@ -132,6 +132,109 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+#: input schema of the images table (BASELINE.json input_hint) for the
+#: streaming file source
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+ASSEMBLED_STREAM_SCHEMA = (
+    "tile_x int, tile_y int, heights binary, n_blocks int"
+)
+_TILE_STATE_SCHEMA = (
+    "done boolean, bxs array<int>, bys array<int>, ids array<string>, "
+    "fmts array<string>, ws array<int>, hs array<int>, blobs array<binary>"
+)
+
+
+def read_images_stream(
+    spark: SparkSession, images_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of an images parquet directory (incremental ingest
+    of the input-hint table — the streaming twin of the reference's bulk
+    ``import`` command, ImportSrtmTilesCommand.fs:103-130)."""
+    reader = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(images_dir)
+
+
+def streaming_assemble_tiles(images: DataFrame, tile_size: int) -> DataFrame:
+    """Custom stateful streaming operator: blocks stream in (in any
+    order, across any number of micro-batches), each tile's blocks
+    buffer in the state store, and the tile is emitted exactly once the
+    moment every block position is covered.
+
+    This is the streaming re-expression of the mosaic join (SURVEY.md
+    §2.3 J2) — the batch engine's ``assemble_tiles`` needs all blocks
+    of a tile in one task; here Spark's state store provides the
+    cross-batch buffer, checkpointed and exactly-once.  The assembled
+    heights are byte-identical to the batch path: the same
+    ``(by, bx, image_id)`` overwrite order replays once the tile
+    completes (§4.3 merge semantics).  Late duplicates arriving after
+    completion are dropped (the reference's negative-cache/idempotent
+    import semantics); per-tile state is a few compressed blocks,
+    bounded by tile size, and clears to a tombstone on emit.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .engine import parse_caption, _decode_block
+    from .tiles import DEM_HEIGHT_NONE
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            done, bxs, bys, ids, fmts, ws, hs, blobs = state.get
+            bxs, bys, ids = list(bxs), list(bys), list(ids)
+            fmts, ws, hs, blobs = list(fmts), list(ws), list(hs), list(blobs)
+        else:
+            done, bxs, bys, ids, fmts, ws, hs, blobs = (
+                False, [], [], [], [], [], [], []
+            )
+        if done:  # tombstone: tile already emitted, drop late duplicates
+            return
+        for pdf in pdfs:
+            bxs.extend(int(v) for v in pdf["bx"])
+            bys.extend(int(v) for v in pdf["by"])
+            ids.extend(str(v) for v in pdf["image_id"])
+            fmts.extend(str(v) for v in pdf["fmt"])
+            ws.extend(int(v) for v in pdf["w"])
+            hs.extend(int(v) for v in pdf["h"])
+            blobs.extend(bytes(v) for v in pdf["bytes"])
+        if not ws:
+            return
+        expected = (tile_size // ws[0]) * (tile_size // hs[0])
+        if len(set(zip(bxs, bys))) < expected:  # still incomplete: buffer
+            state.update((False, bxs, bys, ids, fmts, ws, hs, blobs))
+            return
+        tile = np.full((tile_size, tile_size), DEM_HEIGHT_NONE, dtype=np.int16)
+        order = sorted(range(len(ids)), key=lambda i: (bys[i], bxs[i], ids[i]))
+        for i in order:
+            block = _decode_block(fmts[i], blobs[i], ws[i])
+            y0, x0 = bys[i] * hs[i], bxs[i] * ws[i]
+            tile[y0 : y0 + hs[i], x0 : x0 + ws[i]] = block
+        state.update((True, [], [], [], [], [], [], []))
+        yield pd.DataFrame(
+            {
+                "tile_x": [int(key[0])],
+                "tile_y": [int(key[1])],
+                "heights": [tile.tobytes()],
+                "n_blocks": [len(order)],
+            }
+        )
+
+    assigned = parse_caption(images)
+    return assigned.groupBy("tile_x", "tile_y").applyInPandasWithState(
+        update,
+        outputStructType=ASSEMBLED_STREAM_SCHEMA,
+        stateStructType=_TILE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -119,3 +119,56 @@ def test_stateful_running_user_stats(spark, events_dir, tmp_path):
         for r in rows
     )
     assert canon(last) == canon(batch)
+
+
+def test_streaming_tile_assembly_spans_micro_batches(spark, tmp_path):
+    """Blocks of every tile are deliberately split across two parquet
+    files (two micro-batches with maxFilesPerTrigger=1): no tile can
+    assemble within one batch, so the state store must buffer partial
+    tiles across batches.  The emitted heights must be byte-identical
+    to the batch assemble_tiles path."""
+    from demeton_spark import engine, synth
+    from demeton_spark.synth import WorldSpec
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=30,
+        block_size=10, skew_factor=3,
+    )
+    images = synth.images_df(spark, spec)
+    pdf = images.toPandas()
+    # split by block-position parity: every tile has blocks in both halves
+    import re as _re
+
+    def parity(caption):
+        m = _re.search(r"block \((\d+),(\d+)\)", caption)
+        return (int(m.group(1)) + int(m.group(2))) % 2
+
+    mask = pdf["caption"].map(parity) == 0
+    src = str(tmp_path / "img_stream")
+    schema = streaming.IMAGES_SCHEMA
+    spark.createDataFrame(pdf[mask], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(pdf[~mask], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream_in = streaming.read_images_stream(spark, src, max_files_per_trigger=1)
+    got = streaming.run_to_memory(
+        streaming.streaming_assemble_tiles(stream_in, spec.tile_size),
+        "stream_tiles",
+        str(tmp_path / "ckpt_tiles"),
+        output_mode="append",
+    ).collect()
+
+    batch = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in engine.assemble_tiles(
+            engine.parse_caption(images), spec.tile_size
+        ).collect()
+    }
+    assert len(got) == len(batch) == 4
+    for r in got:
+        b = batch[(r["tile_x"], r["tile_y"])]
+        assert bytes(r["heights"]) == bytes(b["heights"])
+        assert r["n_blocks"] == b["n_blocks"]
