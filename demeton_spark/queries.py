@@ -1224,25 +1224,50 @@ from emb group by label
 """
 
 
+_SIMHASH_ND_BITS = 32  # the 16-bit doc_simhash fingerprint is too
+# coarse for pair generation (a fifth of all pairs collide at ≤2 on
+# this corpus — the pair list itself goes quadratic); 32 bits keeps
+# the operator sub-quadratic while doc_simhash stays as published
+
+
 def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4-bit band bucket-join + Hamming verify.
 
     Completes the SimHash dedup family (fingerprint → candidate pairs):
-    each 16-bit simhash splits into four 4-bit bands; by pigeonhole any
-    pair with Hamming distance ≤ 3 shares at least one band, so the
-    band equi-join finds every pair at the ≤ 2 report threshold.  The
-    join key packs (band index, band value) into one int — a plain
-    shuffle equi-join that scales to 10^9 docs (candidates per bucket
-    ~ docs/2^4 per band at worst; real simhash buckets are sparse).
+    a 32-bit simhash (same md5 word hashes as ``doc_simhash``, all 32
+    bits voted) splits into eight 4-bit bands; by pigeonhole any pair
+    with Hamming distance ≤ 7 shares a band, so the band equi-join
+    loses nothing at the ≤ 2 report threshold.  The join key packs
+    (band index, band value) into one int — a plain shuffle equi-join
+    that scales to 10^9 docs: band buckets shrink with fingerprint
+    width, and the verified output is near-linear in true duplicates.
     """
-    sig = q_doc_simhash(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_words()).alias("word"),
+    ).select("doc_id", _word_hash(F.col("word"), 0).alias("h"))
+    bits = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(_SIMHASH_ND_BITS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*bits)
+    fingerprint = None
+    for b in range(_SIMHASH_ND_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    sig = agg.select(
+        "doc_id", fingerprint.cast("bigint").alias("simhash")
+    )
     band_keys = F.array(
         *[
             F.shiftright(F.col("simhash"), 4 * b)
             .bitwiseAND(F.lit(15))
             .cast("int")
             + F.lit(16 * b)
-            for b in range(4)
+            for b in range(_SIMHASH_ND_BITS // 4)
         ]
     )
     banded = sig.select(
@@ -1265,11 +1290,35 @@ def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_SIMHASH_NEAR_DUP = f"""
-with sig as ({SQL_DOC_SIMHASH}),
+with exploded as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(string_split(text, ' '), y -> y <> '')) as word
+  from documents
+),
+e as (
+  select doc_id, {_sql_word_hash('word', 0)} as h from exploded
+),
+bits as (
+  select doc_id,
+  {", ".join(
+    f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as b{b}"
+    for b in range(_SIMHASH_ND_BITS)
+  )}
+  from e group by doc_id
+),
+sig as (
+  select doc_id,
+    cast({" + ".join(
+      f"case when b{b} > 0 then {1 << b} else 0 end"
+      for b in range(_SIMHASH_ND_BITS)
+    )} as bigint) as simhash
+  from bits
+),
 banded as (
   select doc_id, simhash,
          cast(((simhash >> (4 * t.b)) & 15) + 16 * t.b as int) as bk
-  from sig cross join (select unnest(generate_series(0, 3)) as b) t
+  from sig cross join (
+    select unnest(generate_series(0, {_SIMHASH_ND_BITS // 4 - 1})) as b) t
 )
 select distinct a.doc_id as doc_a, b.doc_id as doc_b,
        cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
