@@ -575,6 +575,7 @@ def _place_strip(padded: np.ndarray, part: str, cells: np.ndarray,
 def shade_unified(
     parts: DataFrame, tile_size: int, script: str,
     fill: int = DEM_HEIGHT_NONE,
+    clip_poly: np.ndarray | None = None,
 ) -> DataFrame:
     """One grouped task per tile: stitch blocks, apply neighbor strips
     into the 1-px halo, Horn + shaders, PNG encode.  ``parts`` comes
@@ -615,7 +616,9 @@ def shade_unified(
                 cells = np.frombuffer(payload, dtype="<i2")
                 _place_strip(padded, part, cells, int(bx), int(by),
                              int(w), int(h), ts)
-        rgba, shaded = shade_padded_block(padded, tile_x, tile_y, ts, steps)
+        rgba, shaded = shade_padded_block(
+            padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly
+        )
         return pd.DataFrame(
             {
                 "tile_x": [tile_x],
@@ -660,6 +663,7 @@ def shade_padded_block(
     tile_size: int,
     steps,
     water: np.ndarray | None = None,
+    clip_poly: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Numpy core shared by the Spark path and the single-array oracle.
 
@@ -700,6 +704,21 @@ def shade_padded_block(
             heights_are_int16=True,  # straight from the int16 grid
         )
         rgba = pipeline.evaluate_steps(steps, ctx)
+        if clip_poly is not None:
+            # point-in-polygon raster clip (north-star: "point-in-polygon
+            # tests clip rasters to requested geo bounds"): pixels whose
+            # cell lon/lat falls outside the polygon go transparent.
+            # Runs per band on the same cell-coordinate convention as the
+            # geodesic grid above (cell c ↔ degree c/cpd).
+            from .geometry import points_in_polygon
+
+            lon = (np.arange(w, dtype=np.float64) + tile_x * tile_size) / cpd
+            nrows = r1 - r0
+            px = np.broadcast_to(lon, (nrows, w))
+            py = np.broadcast_to(lat_deg[:, None], (nrows, w))
+            inside = points_in_polygon(px, py, clip_poly[:, 0], clip_poly[:, 1])
+            rgba = rgba.copy()
+            rgba[..., 3] = np.where(inside, rgba[..., 3], 0)
         shaded += int(np.count_nonzero(rgba[..., 3] > 0))
         out[r0:r1] = rgba
     return out[::-1, :, :], shaded  # Y-flip to bitmap orientation
@@ -836,6 +855,7 @@ def run_hillshade(
     output_dir: str | None = None,
     resume: bool = True,
     salt_buckets: int | None = None,
+    clip_polygon=None,
 ) -> DataFrame:
     """images table → shaded PNG tiles.
 
@@ -845,7 +865,15 @@ def run_hillshade(
     missing tiles (ImportSrtmTilesCommand.fs:110-124 semantics).
     ``salt_buckets`` switches to two-phase salted assembly for inputs
     with heavy per-tile skew (see :func:`assemble_parts_salted`).
+    ``clip_polygon`` — sequence of (lon, lat) vertices: tiles outside
+    the polygon's bbox are pruned with a Catalyst predicate before the
+    shuffle (floor/ceil−1 cover rule, Dem/Funcs.fs:284-298) and pixels
+    outside the polygon render transparent (per-band vectorized
+    point-in-polygon clip, SURVEY.md §2.3 J9).
     """
+    clip_poly = None
+    if clip_polygon is not None:
+        clip_poly = np.asarray(clip_polygon, dtype=np.float64)
     assigned = parse_caption(images)
     if salt_buckets and salt_buckets > 1:
         # two-phase salted assembly for pathological per-tile skew keeps
@@ -860,6 +888,22 @@ def run_hillshade(
         shaded = shade_parts(parts, tile_size, script)
     else:
         parts = hillshade_parts(assigned, tile_size)
+        if clip_poly is not None:
+            # prune DESTINATION tiles to the polygon's bbox cover
+            # (floor/ceil−1 rule, Dem/Funcs.fs:284-298).  The filter sits
+            # above the block/strip union: it pushes down to the scan on
+            # the block arm (the full-data one), while strips donated by
+            # just-outside tiles into kept boundary tiles survive — the
+            # clipped result stays pixel-identical to clipping the
+            # unpruned output.
+            tx0 = int(math.floor(clip_poly[:, 0].min()))
+            tx1 = int(math.ceil(clip_poly[:, 0].max())) - 1
+            ty0 = int(math.floor(clip_poly[:, 1].min()))
+            ty1 = int(math.ceil(clip_poly[:, 1].max())) - 1
+            parts = parts.where(
+                (F.col("tile_x") >= tx0) & (F.col("tile_x") <= tx1)
+                & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1)
+            )
         if output_dir is not None and resume:
             done = _read_manifest(spark, output_dir)
             if done is not None:
@@ -870,7 +914,7 @@ def run_hillshade(
                 parts = parts.join(
                     F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
                 )
-        shaded = shade_unified(parts, tile_size, script)
+        shaded = shade_unified(parts, tile_size, script, clip_poly=clip_poly)
     if output_dir is not None:
         shaded.write.mode("append").parquet(output_dir)
         return spark.read.parquet(output_dir)
@@ -892,10 +936,13 @@ def shade_world_oracle(
     world: np.ndarray,
     spec: WorldSpec,
     script: str = pipeline.DEFAULT_SCRIPT,
+    clip_poly: np.ndarray | None = None,
 ) -> np.ndarray:
     """Shade the whole world as ONE merged array (the reference's
     merged-HeightsArray path) and return the bitmap-oriented RGBA image.
     Used to prove the halo exchange reproduces untiled results.
+    ``clip_poly`` applies the same point-in-polygon raster clip as the
+    distributed path.
     """
     steps = pipeline.parse_script(script)
     ts = spec.tile_size
@@ -915,4 +962,13 @@ def shade_world_oracle(
         heights=f[1:-1, 1:-1], slope=slope, aspect=aspect
     )
     rgba = pipeline.evaluate_steps(steps, ctx)
+    if clip_poly is not None:
+        from .geometry import points_in_polygon
+
+        lon = (np.arange(w, dtype=np.float64) + spec.lon0 * ts) / cpd
+        px = np.broadcast_to(lon, (h, w))
+        py = np.broadcast_to(lat_deg[:, None], (h, w))
+        inside = points_in_polygon(px, py, clip_poly[:, 0], clip_poly[:, 1])
+        rgba = rgba.copy()
+        rgba[..., 3] = np.where(inside, rgba[..., 3], 0)
     return rgba[::-1, :, :]

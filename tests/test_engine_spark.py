@@ -264,3 +264,38 @@ def test_image_phash_dedup_invariants(spark):
     got_keep = out.set_index("phash")["keep_id"]
     assert got_keep.sort_index().equals(expected_keep.sort_index())
     assert (out["copies"] >= 1).all() and (out["copies"] > 1).any()
+
+
+def test_polygon_clip_tiled_equals_untiled_oracle(spark, images):
+    """Raster clipped to a polygon through the distributed pipeline must
+    be pixel-identical to clipping the untiled oracle; tiles fully
+    outside the polygon bbox are pruned before the shuffle."""
+    # triangle covering parts of the west tiles only (lon 13..14)
+    poly = [(13.1, 45.2), (13.9, 45.4), (13.3, 46.7)]
+    shaded = engine.run_hillshade(
+        spark, images, SPEC.tile_size, script="elecolor|+igor",
+        clip_polygon=poly,
+    ).collect()
+    # bbox cover: tile_x in {13}, tile_y in {45, 46} → east tiles pruned
+    assert sorted((r["tile_x"], r["tile_y"]) for r in shaded) == [
+        (13, 45), (13, 46),
+    ]
+    world = synth.expected_world_heights(SPEC)
+    oracle = engine.shade_world_oracle(
+        world, SPEC, script="elecolor|+igor",
+        clip_poly=np.asarray(poly, dtype=np.float64),
+    )
+    ts = SPEC.tile_size
+    total_visible = 0
+    for r in shaded:
+        rgba = codec.decode_rgba_png(bytes(r["png"]))
+        tx_i = r["tile_x"] - SPEC.lon0
+        ty_i = r["tile_y"] - SPEC.lat0
+        y0 = (SPEC.n_tiles_y - 1 - ty_i) * ts
+        x0 = tx_i * ts
+        assert np.array_equal(rgba, oracle[y0 : y0 + ts, x0 : x0 + ts])
+        assert r["shaded_px"] == int(
+            np.count_nonzero(rgba[..., 3] > 0)
+        )
+        total_visible += r["shaded_px"]
+    assert 0 < total_visible < 2 * ts * ts  # genuinely clipped
