@@ -856,6 +856,7 @@ def run_hillshade(
     resume: bool = True,
     salt_buckets: int | None = None,
     clip_polygon=None,
+    shade_partitions: int | None = None,
 ) -> DataFrame:
     """images table → shaded PNG tiles.
 
@@ -914,6 +915,14 @@ def run_hillshade(
                 parts = parts.join(
                     F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
                 )
+        # pre-partition the one full-data exchange on the tile key at
+        # finer granularity than spark.sql.shuffle.partitions: the shade
+        # stage is CPU-bound per TILE, so ~1 tile/task bounds straggler
+        # cost to one tile (measured +15% at sf0.1/local[32]).  The
+        # following groupBy reuses this hash partitioning — no second
+        # exchange.  Callers with a known tile count should pass it.
+        n_parts = shade_partitions or spark.sparkContext.defaultParallelism * 4
+        parts = parts.repartition(n_parts, "tile_x", "tile_y")
         shaded = shade_unified(parts, tile_size, script, clip_poly=clip_poly)
     if output_dir is not None:
         shaded.write.mode("append").parquet(output_dir)
