@@ -274,11 +274,22 @@ def composite_over(source: np.ndarray, dest: np.ndarray) -> np.ndarray:
         # rgb = rint((src·sa + dst·(255−sa)) / 255) with a constant
         # divisor — exact, since x/255 never lands on .5 for integer x
         inv = (255 - sa8)[..., None]
+        out = np.empty_like(source)
+        if not source[..., :3].any():
+            # black source (igor/lambert/slope default shading color):
+            # the src·sa term vanishes — out = rint(dst·(255−sa)/255),
+            # one multiply instead of two multiplies + add, and the
+            # sa=255 short-circuit is already exact (rgb 0, alpha 255)
+            num = dest[..., :3].astype(np.int32) * inv
+            out[..., :3] = np.rint(num * np.float32(1.0 / 255.0)).astype(
+                np.uint8
+            )
+            out[..., 3] = 255
+            return out
         num = (
             source[..., :3].astype(np.int32) * sa8[..., None]
             + dest[..., :3].astype(np.int32) * inv
         )
-        out = np.empty_like(source)
         out[..., :3] = np.rint(num * np.float32(1.0 / 255.0)).astype(np.uint8)
         out[..., 3] = 255
         np.copyto(out, source, where=(sa8 == 255)[..., None])
