@@ -381,7 +381,8 @@ def assemble_parts_salted(
 
 
 def shade_parts(
-    parts: DataFrame, tile_size: int, script: str
+    parts: DataFrame, tile_size: int, script: str,
+    clip_poly: np.ndarray | None = None,
 ) -> DataFrame:
     """Fused stage B: halo-pad + Horn + shaders + PNG encode in one
     applyInPandas (one shuffle keyed by destination tile)."""
@@ -404,7 +405,9 @@ def shade_parts(
             else 0
         )
         padded = _pad_from_parts(parts_map, ts)
-        rgba, shaded = shade_padded_block(padded, tile_x, tile_y, ts, steps)
+        rgba, shaded = shade_padded_block(
+            padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly
+        )
         return pd.DataFrame(
             {
                 "tile_x": [tile_x],
@@ -880,13 +883,22 @@ def run_hillshade(
         # two-phase salted assembly for pathological per-tile skew keeps
         # the two-stage topology (partial mosaics need their own shuffle)
         parts = assemble_parts_salted(assigned, tile_size, salt_buckets)
+        if clip_poly is not None:
+            tx0 = int(math.floor(clip_poly[:, 0].min()))
+            tx1 = int(math.ceil(clip_poly[:, 0].max())) - 1
+            ty0 = int(math.floor(clip_poly[:, 1].min()))
+            ty1 = int(math.ceil(clip_poly[:, 1].max())) - 1
+            parts = parts.where(
+                (F.col("tile_x") >= tx0) & (F.col("tile_x") <= tx1)
+                & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1)
+            )
         if output_dir is not None and resume:
             done = _read_manifest(spark, output_dir)
             if done is not None:
                 parts = parts.join(
                     F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
                 )
-        shaded = shade_parts(parts, tile_size, script)
+        shaded = shade_parts(parts, tile_size, script, clip_poly=clip_poly)
     else:
         parts = hillshade_parts(assigned, tile_size)
         if clip_poly is not None:

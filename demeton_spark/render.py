@@ -248,3 +248,36 @@ def render_shaded_raster(
     return joined.groupBy("rt_x", "rt_y", "min_x", "min_y", "w", "h").applyInPandas(
         render, schema=RENDERED_SCHEMA
     )
+
+
+def georef_sidecars(rendered: DataFrame, scale: MapScale) -> DataFrame:
+    """World-file georeferencing sidecar per rendered raster tile.
+
+    The reference roadmap's "Georeferencing metadata" item
+    (/root/reference/docs/Roadmap.md): each PNG tile gets the six-line
+    ESRI world-file affine (meters in the projection plane, y up):
+
+        A (m/px east), D (0), B (0), E (−m/px north),
+        C (x of top-left pixel CENTER), F (y of top-left pixel center)
+
+    Projected pixel coords are ``x_px = x_unit · projection_scale_factor``
+    on the unit sphere, so ground meters per pixel =
+    ``EARTH_RADIUS / projection_scale_factor`` = map_scale/(inches/m ·
+    dpi).  Pure column expressions — no Python in the plan.
+    """
+    from .geometry import EARTH_RADIUS_M
+
+    m_per_px = EARTH_RADIUS_M / scale.projection_scale_factor
+    c = (F.col("min_x") + F.lit(0.5)) * m_per_px
+    f = (F.col("min_y") + F.col("height") - F.lit(0.5)) * m_per_px
+    nl = F.lit("\n")
+    world_file = F.concat(
+        F.lit(f"{m_per_px!r}"), nl, F.lit("0.0"), nl, F.lit("0.0"), nl,
+        F.lit(f"{-m_per_px!r}"), nl,
+        c.cast("string"), nl, f.cast("string"), nl,
+    )
+    return rendered.select(
+        "rt_x", "rt_y", world_file.alias("world_file"),
+        F.lit(m_per_px).alias("meters_per_px"),
+        c.alias("origin_x_m"), f.alias("origin_y_m"),
+    )

@@ -299,3 +299,28 @@ def test_polygon_clip_tiled_equals_untiled_oracle(spark, images):
         )
         total_visible += r["shaded_px"]
     assert 0 < total_visible < 2 * ts * ts  # genuinely clipped
+
+
+def test_polygon_clip_salted_path_matches_fused(spark, images):
+    """clip_polygon must behave identically through the salted two-phase
+    assembly topology."""
+    poly = [(13.1, 45.2), (13.9, 45.4), (13.3, 46.7)]
+    fused = {
+        (r["tile_x"], r["tile_y"]): (bytes(r["png"]), r["shaded_px"])
+        for r in engine.run_hillshade(
+            spark, images, SPEC.tile_size, script="elecolor|+igor",
+            clip_polygon=poly,
+        ).collect()
+    }
+    salted = {
+        (r["tile_x"], r["tile_y"]): (bytes(r["png"]), r["shaded_px"])
+        for r in engine.run_hillshade(
+            spark, images, SPEC.tile_size, script="elecolor|+igor",
+            clip_polygon=poly, salt_buckets=3,
+        ).collect()
+    }
+    assert set(fused) == set(salted)
+    for k in fused:
+        assert codec.decode_rgba_png(fused[k][0]).tobytes() == \
+            codec.decode_rgba_png(salted[k][0]).tobytes()
+        assert fused[k][1] == salted[k][1]

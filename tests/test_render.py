@@ -148,3 +148,33 @@ def test_render_with_lcc_projection(spark):
     interior = img[3:-3, 3:-3]
     assert (interior[..., 3] == 255).all()
     assert len(np.unique(interior.reshape(-1, 4), axis=0)) == 1
+
+
+def test_georef_sidecar_world_file(spark):
+    """World-file affine recovers each tile's projected-meter placement:
+    parsing the six lines back must reproduce meters_per_px and the
+    top-left pixel-center origin."""
+    from demeton_spark.geometry import EARTH_RADIUS_M
+    from demeton_spark.render import georef_sidecars
+
+    scale = SCALE
+    rendered = render.render_shaded_raster(
+        spark, _dem_df(spark), BBOX_PTS, scale,
+        script="elecolor|+igor", tile_size=TS, raster_tile_px=80,
+    )
+    side = {
+        (r["rt_x"], r["rt_y"]): r
+        for r in georef_sidecars(rendered, scale).collect()
+    }
+    rows = {(r["rt_x"], r["rt_y"]): r for r in rendered.collect()}
+    assert set(side) == set(rows)
+    m_px = EARTH_RADIUS_M / scale.projection_scale_factor
+    for k, s in side.items():
+        lines = s["world_file"].strip().splitlines()
+        assert len(lines) == 6
+        a, d, b, e, c, f = (float(x) for x in lines)
+        assert a == pytest.approx(m_px) and e == pytest.approx(-m_px)
+        assert d == b == 0.0
+        r = rows[k]
+        assert c == pytest.approx((r["min_x"] + 0.5) * m_px)
+        assert f == pytest.approx((r["min_y"] + r["height"] - 0.5) * m_px)
