@@ -126,9 +126,30 @@ def _q_shade_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hillshade_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon raster clip through the hillshade pipeline:
+    tiles outside the polygon bbox prune before the shuffle, pixels
+    outside the polygon render transparent (rows-only; pixel parity vs
+    the clipped untiled oracle is pinned in tests/test_engine_spark.py)."""
+    from demeton_spark.engine import run_hillshade
+    from demeton_spark.synth import WorldSpec, images_df
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60, block_size=20
+    )
+    shaded = run_hillshade(
+        spark, images_df(spark, spec), spec.tile_size, script="elecolor|+igor",
+        clip_polygon=[(13.1, 45.1), (13.95, 45.5), (13.4, 45.95)],
+    )
+    return shaded.select(
+        "tile_x", "tile_y", "tile_name", "shaded_px", "total_px"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["hillshade_tiles"] = _q_hillshade_tiles
+    out["hillshade_clip"] = _q_hillshade_clip
     out["pyramid_downsample"] = _q_pyramid_downsample
     out["water_components"] = _q_water_components
     out["tile_isolines"] = _q_tile_isolines
