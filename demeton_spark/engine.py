@@ -473,26 +473,32 @@ UNIFIED_PART_SCHEMA = (
     "w int, h int, fmt string, data binary"
 )
 
-#: (edge predicate, dest offset, part name, cut of the decoded block)
-#: — block-level version of _STRIP_SPEC: a block on its tile's border
-#: contributes the 1-px strip the neighbor needs for halo padding.
+#: (edge predicate, dest offset, part name, cut of the decoded block
+#: given halo width k) — block-level version of _STRIP_SPEC: a block on
+#: its tile's border contributes the k-px slab the neighbor needs for
+#: halo padding (k=1 for plain Horn; k=2 when a prefilter consumes a
+#: ring first — Roadmap.md low/high-pass filters).
 _BLOCK_STRIP_SPEC = [
-    (lambda bx, by, nx, ny: by == ny - 1, (0, 1), "S", lambda b: b[-1:, :]),
-    (lambda bx, by, nx, ny: by == 0, (0, -1), "N", lambda b: b[:1, :]),
-    (lambda bx, by, nx, ny: bx == nx - 1, (1, 0), "W", lambda b: b[:, -1:]),
-    (lambda bx, by, nx, ny: bx == 0, (-1, 0), "E", lambda b: b[:, :1]),
+    (lambda bx, by, nx, ny: by == ny - 1, (0, 1), "S",
+     lambda b, k: b[-k:, :]),
+    (lambda bx, by, nx, ny: by == 0, (0, -1), "N", lambda b, k: b[:k, :]),
+    (lambda bx, by, nx, ny: bx == nx - 1, (1, 0), "W",
+     lambda b, k: b[:, -k:]),
+    (lambda bx, by, nx, ny: bx == 0, (-1, 0), "E", lambda b, k: b[:, :k]),
     (lambda bx, by, nx, ny: bx == nx - 1 and by == ny - 1, (1, 1), "SW",
-     lambda b: b[-1:, -1:]),
+     lambda b, k: b[-k:, -k:]),
     (lambda bx, by, nx, ny: bx == 0 and by == ny - 1, (-1, 1), "SE",
-     lambda b: b[-1:, :1]),
+     lambda b, k: b[-k:, :k]),
     (lambda bx, by, nx, ny: bx == nx - 1 and by == 0, (1, -1), "NW",
-     lambda b: b[:1, -1:]),
+     lambda b, k: b[:k, -k:]),
     (lambda bx, by, nx, ny: bx == 0 and by == 0, (-1, -1), "NE",
-     lambda b: b[:1, :1]),
+     lambda b, k: b[:k, :k]),
 ]
 
 
-def emit_block_strips(assigned: DataFrame, tile_size: int) -> DataFrame:
+def emit_block_strips(
+    assigned: DataFrame, tile_size: int, halo: int = 1
+) -> DataFrame:
     """Narrow stage: border blocks → 1-px strip rows keyed by the
     neighbor tile that needs them (fmt='raw', int16 LE cells).
 
@@ -518,6 +524,10 @@ def emit_block_strips(assigned: DataFrame, tile_size: int) -> DataFrame:
                 pdf["bytes"], pdf["w"], pdf["h"], pdf["bx"], pdf["by"],
             ):
                 w, h, bx, by = int(w), int(h), int(bx), int(by)
+                if halo > min(w, h):
+                    raise ValueError(
+                        f"halo {halo} exceeds block size {w}x{h}"
+                    )
                 nx, ny = tile_size // w, tile_size // h
                 block = None
                 for on_edge, (dx, dy), part, strip_cut in _BLOCK_STRIP_SPEC:
@@ -535,56 +545,82 @@ def emit_block_strips(assigned: DataFrame, tile_size: int) -> DataFrame:
                     out["h"].append(h)
                     out["fmt"].append("raw")
                     out["data"].append(
-                        np.ascontiguousarray(strip_cut(block)).tobytes()
+                        np.ascontiguousarray(strip_cut(block, halo)).tobytes()
                     )
             yield pd.DataFrame(out)
 
     return edge.mapInPandas(cut, schema=UNIFIED_PART_SCHEMA)
 
 
-def hillshade_parts(assigned: DataFrame, tile_size: int) -> DataFrame:
+def hillshade_parts(
+    assigned: DataFrame, tile_size: int, halo: int = 1
+) -> DataFrame:
     """Blocks + their neighbors' strip contributions, keyed by the
     destination tile — the single-shuffle input of :func:`shade_unified`."""
     blocks = assigned.select(
         "tile_x", "tile_y", F.lit("B").alias("part"), "bx", "by",
         "image_id", "w", "h", "fmt", F.col("bytes").alias("data"),
     )
-    return blocks.unionByName(emit_block_strips(assigned, tile_size))
+    return blocks.unionByName(emit_block_strips(assigned, tile_size, halo))
 
 
-#: placement of a received strip into the (ts+2)² padded array:
-#: part → (row slice fn, col slice fn) given (bx, by, w, h, ts)
+#: placement of a received strip slab into the (ts+2k)² padded array
 def _place_strip(padded: np.ndarray, part: str, cells: np.ndarray,
-                 bx: int, by: int, w: int, h: int, ts: int) -> None:
-    x0, y0 = 1 + bx * w, 1 + by * h
+                 bx: int, by: int, w: int, h: int, ts: int,
+                 k: int = 1) -> None:
+    x0, y0 = k + bx * w, k + by * h
     if part == "S":
-        padded[0, x0 : x0 + w] = cells
+        padded[0:k, x0 : x0 + w] = cells.reshape(k, w)
     elif part == "N":
-        padded[ts + 1, x0 : x0 + w] = cells
+        padded[ts + k : ts + 2 * k, x0 : x0 + w] = cells.reshape(k, w)
     elif part == "W":
-        padded[y0 : y0 + h, 0] = cells
+        padded[y0 : y0 + h, 0:k] = cells.reshape(h, k)
     elif part == "E":
-        padded[y0 : y0 + h, ts + 1] = cells
+        padded[y0 : y0 + h, ts + k : ts + 2 * k] = cells.reshape(h, k)
     elif part == "SW":
-        padded[0, 0] = cells[0]
+        padded[0:k, 0:k] = cells.reshape(k, k)
     elif part == "SE":
-        padded[0, ts + 1] = cells[0]
+        padded[0:k, ts + k : ts + 2 * k] = cells.reshape(k, k)
     elif part == "NW":
-        padded[ts + 1, 0] = cells[0]
+        padded[ts + k : ts + 2 * k, 0:k] = cells.reshape(k, k)
     elif part == "NE":
-        padded[ts + 1, ts + 1] = cells[0]
+        padded[ts + k : ts + 2 * k, ts + k : ts + 2 * k] = cells.reshape(k, k)
+
+
+def apply_prefilters(padded: np.ndarray, steps) -> np.ndarray:
+    """Run prefilter steps (kernels.PREFILTERS) over an int16 padded
+    block; each consumes one halo ring.  Output rounds back to int16
+    (heights stay 1 m-quantized end-to-end, the storage discipline of
+    §1.2), missing stays missing."""
+    f = kernels.heights_to_float(padded, dtype=np.float32)
+    for st in steps:
+        fn = kernels.PREFILTERS[st.name]
+        params = {k: float(v) for k, v in st.params.items()}
+        f = fn(f, **params)
+    return kernels.float_to_heights(f)
 
 
 def shade_unified(
     parts: DataFrame, tile_size: int, script: str,
     fill: int = DEM_HEIGHT_NONE,
     clip_poly: np.ndarray | None = None,
+    halo: int = 1,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """One grouped task per tile: stitch blocks, apply neighbor strips
-    into the 1-px halo, Horn + shaders, PNG encode.  ``parts`` comes
-    from :func:`hillshade_parts`; groups with no center blocks (strips
-    sent past the world edge) produce nothing."""
+    into the k-px halo, optional height prefilters, Horn + shaders, PNG
+    encode.  ``parts`` comes from :func:`hillshade_parts` (same halo);
+    groups with no center blocks (strips sent past the world edge)
+    produce nothing.  ``prefilter`` is a step script over
+    kernels.PREFILTERS (e.g. ``"blur"`` or ``"sharpen(amount=1.5)"``);
+    each step consumes one halo ring, so halo must be 1 + n_steps."""
     steps = pipeline.parse_script(script)
+    pre_steps = pipeline.parse_script(prefilter) if prefilter else []
+    if halo != 1 + len(pre_steps):
+        raise ValueError(
+            f"halo {halo} must be 1 + number of prefilter steps "
+            f"({len(pre_steps)})"
+        )
 
     def assemble_pad_shade(pdf: pd.DataFrame) -> pd.DataFrame:
         is_block = pdf["part"] == "B"
@@ -594,17 +630,17 @@ def shade_unified(
                 columns=["tile_x", "tile_y", "tile_name", "width", "height",
                          "png", "shaded_px", "total_px", "n_blocks"]
             )
-        ts = tile_size
+        ts, k = tile_size, halo
         tile_x = int(pdf["tile_x"].iloc[0])
         tile_y = int(pdf["tile_y"].iloc[0])
-        padded = np.full((ts + 2, ts + 2), fill, dtype=np.int16)
+        padded = np.full((ts + 2 * k, ts + 2 * k), fill, dtype=np.int16)
         blocks = blocks.sort_values(["by", "bx", "image_id"])
         for fmt, payload, w, h, bx, by in zip(
             blocks["fmt"], blocks["data"], blocks["w"], blocks["h"],
             blocks["bx"], blocks["by"],
         ):
             block = _decode_block(fmt, payload, int(w))
-            y0, x0 = 1 + int(by) * int(h), 1 + int(bx) * int(w)
+            y0, x0 = k + int(by) * int(h), k + int(bx) * int(w)
             padded[y0 : y0 + int(h), x0 : x0 + int(w)] = block
         strips = pdf[~is_block]
         if not strips.empty:
@@ -618,7 +654,9 @@ def shade_unified(
             ):
                 cells = np.frombuffer(payload, dtype="<i2")
                 _place_strip(padded, part, cells, int(bx), int(by),
-                             int(w), int(h), ts)
+                             int(w), int(h), ts, k)
+        if pre_steps:
+            padded = apply_prefilters(padded, pre_steps)
         rgba, shaded = shade_padded_block(
             padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly
         )
@@ -860,6 +898,7 @@ def run_hillshade(
     salt_buckets: int | None = None,
     clip_polygon=None,
     shade_partitions: int | None = None,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """images table → shaded PNG tiles.
 
@@ -874,10 +913,18 @@ def run_hillshade(
     shuffle (floor/ceil−1 cover rule, Dem/Funcs.fs:284-298) and pixels
     outside the polygon render transparent (per-band vectorized
     point-in-polygon clip, SURVEY.md §2.3 J9).
+    ``prefilter`` — height low/high-pass step script (``"blur"``,
+    ``"sharpen(amount=…)"``; Roadmap.md filters) applied before the
+    Horn gradient; widens the halo exchange by one ring per step.
     """
     clip_poly = None
     if clip_polygon is not None:
         clip_poly = np.asarray(clip_polygon, dtype=np.float64)
+    halo = 1 + (len(pipeline.parse_script(prefilter)) if prefilter else 0)
+    if prefilter and salt_buckets and salt_buckets > 1:
+        raise NotImplementedError(
+            "prefilter is not wired through the salted topology"
+        )
     assigned = parse_caption(images)
     if salt_buckets and salt_buckets > 1:
         # two-phase salted assembly for pathological per-tile skew keeps
@@ -900,7 +947,7 @@ def run_hillshade(
                 )
         shaded = shade_parts(parts, tile_size, script, clip_poly=clip_poly)
     else:
-        parts = hillshade_parts(assigned, tile_size)
+        parts = hillshade_parts(assigned, tile_size, halo)
         if clip_poly is not None:
             # prune DESTINATION tiles to the polygon's bbox cover
             # (floor/ceil−1 rule, Dem/Funcs.fs:284-298).  The filter sits
@@ -935,7 +982,10 @@ def run_hillshade(
         # exchange.  Callers with a known tile count should pass it.
         n_parts = shade_partitions or spark.sparkContext.defaultParallelism * 4
         parts = parts.repartition(n_parts, "tile_x", "tile_y")
-        shaded = shade_unified(parts, tile_size, script, clip_poly=clip_poly)
+        shaded = shade_unified(
+            parts, tile_size, script, clip_poly=clip_poly,
+            halo=halo, prefilter=prefilter,
+        )
     if output_dir is not None:
         shaded.write.mode("append").parquet(output_dir)
         return spark.read.parquet(output_dir)
@@ -958,19 +1008,24 @@ def shade_world_oracle(
     spec: WorldSpec,
     script: str = pipeline.DEFAULT_SCRIPT,
     clip_poly: np.ndarray | None = None,
+    prefilter: str | None = None,
 ) -> np.ndarray:
     """Shade the whole world as ONE merged array (the reference's
     merged-HeightsArray path) and return the bitmap-oriented RGBA image.
     Used to prove the halo exchange reproduces untiled results.
     ``clip_poly`` applies the same point-in-polygon raster clip as the
-    distributed path.
+    distributed path; ``prefilter`` the same height low/high-pass chain.
     """
     steps = pipeline.parse_script(script)
+    pre_steps = pipeline.parse_script(prefilter) if prefilter else []
+    k = 1 + len(pre_steps)
     ts = spec.tile_size
     cpd = cells_per_degree(ts, 0)
     h, w = world.shape
-    padded = np.full((h + 2, w + 2), DEM_HEIGHT_NONE, dtype=np.int16)
-    padded[1:-1, 1:-1] = world
+    padded = np.full((h + 2 * k, w + 2 * k), DEM_HEIGHT_NONE, dtype=np.int16)
+    padded[k : h + k, k : w + k] = world
+    if pre_steps:
+        padded = apply_prefilters(padded, pre_steps)
     f = kernels.heights_to_float(padded, dtype=np.float32)  # match engine dtype
     min_cell_y = spec.lat0 * ts
     lat_deg = (np.arange(h, dtype=np.float64) + min_cell_y) / cpd

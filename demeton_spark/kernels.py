@@ -461,3 +461,54 @@ def value_histogram(heights: np.ndarray) -> dict[int, int]:
     """Height-value → count map (Dem/Funcs.fs:508-510)."""
     vals, counts = np.unique(heights, return_counts=True)
     return {int(v): int(c) for v, c in zip(vals, counts)}
+
+
+# ---------------------------------------------------------------------------
+# height-raster prefilters (reference roadmap "low and high pass filters
+# to augment the shaders", /root/reference/docs/Roadmap.md) — applied to
+# the padded heights BEFORE the Horn gradient; each consumes one halo
+# ring, so the pipeline fetches halo width 2 when one is active
+# ---------------------------------------------------------------------------
+
+def filter_gauss3(padded_f: np.ndarray) -> np.ndarray:
+    """NaN-aware 3×3 Gaussian low-pass over float heights.
+
+    Input (H, W) with NaN = missing; output (H−2, W−2).  A cell stays
+    missing iff its own center is missing; otherwise the [[1,2,1],
+    [2,4,2],[1,2,1]]/16 weights renormalize over the non-missing
+    neighbors (the DemHeightNone-propagation discipline of §4.3 applied
+    to a new operator: smoothing never invents data over holes, and
+    holes never grow).
+    """
+    w = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]],
+                 dtype=padded_f.dtype)
+    num = np.zeros_like(padded_f[1:-1, 1:-1])
+    den = np.zeros_like(num)
+    valid = ~np.isnan(padded_f)
+    filled = np.where(valid, padded_f, 0)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            wt = w[dy + 1, dx + 1]
+            ys = slice(1 + dy, padded_f.shape[0] - 1 + dy)
+            xs = slice(1 + dx, padded_f.shape[1] - 1 + dx)
+            num += wt * filled[ys, xs]
+            den += wt * valid[ys, xs]
+    out = np.where(den > 0, num / np.where(den > 0, den, 1), np.nan)
+    out[~valid[1:-1, 1:-1]] = np.nan  # center missing stays missing
+    return out
+
+
+def filter_sharpen(padded_f: np.ndarray, amount: float = 1.0) -> np.ndarray:
+    """High-pass sharpen: h + amount·(h − gauss3(h)), NaN-preserving.
+    Input (H, W); output (H−2, W−2)."""
+    low = filter_gauss3(padded_f)
+    center = padded_f[1:-1, 1:-1]
+    return center + amount * (center - low)
+
+
+#: prefilter registry: name -> (ctx-free fn(padded_f, **params) -> smaller
+#: array).  Each entry consumes exactly one halo ring.
+PREFILTERS = {
+    "blur": filter_gauss3,
+    "sharpen": filter_sharpen,
+}

@@ -324,3 +324,46 @@ def test_polygon_clip_salted_path_matches_fused(spark, images):
         assert codec.decode_rgba_png(fused[k][0]).tobytes() == \
             codec.decode_rgba_png(salted[k][0]).tobytes()
         assert fused[k][1] == salted[k][1]
+
+
+def test_blur_prefilter_tiled_equals_untiled(spark, images):
+    """Low-pass prefilter (2-px halo exchange): tiled result must be
+    pixel-identical to blurring + shading the untiled world."""
+    shaded = engine.run_hillshade(
+        spark, images, SPEC.tile_size, script="elecolor|+igor",
+        prefilter="blur",
+    ).collect()
+    world = synth.expected_world_heights(SPEC)
+    oracle = engine.shade_world_oracle(
+        world, SPEC, script="elecolor|+igor", prefilter="blur"
+    )
+    ts = SPEC.tile_size
+    assert len(shaded) == 4
+    for r in shaded:
+        rgba = codec.decode_rgba_png(bytes(r["png"]))
+        tx_i = r["tile_x"] - SPEC.lon0
+        ty_i = r["tile_y"] - SPEC.lat0
+        y0 = (SPEC.n_tiles_y - 1 - ty_i) * ts
+        x0 = tx_i * ts
+        assert np.array_equal(rgba, oracle[y0 : y0 + ts, x0 : x0 + ts])
+
+
+def test_sharpen_prefilter_changes_output_but_not_holes(spark, images):
+    plain = {
+        (r["tile_x"], r["tile_y"]): (bytes(r["png"]), r["shaded_px"])
+        for r in engine.run_hillshade(
+            spark, images, SPEC.tile_size, script="elecolor|+igor"
+        ).collect()
+    }
+    sharp = {
+        (r["tile_x"], r["tile_y"]): (bytes(r["png"]), r["shaded_px"])
+        for r in engine.run_hillshade(
+            spark, images, SPEC.tile_size, script="elecolor|+igor",
+            prefilter="sharpen(amount=2.0)",
+        ).collect()
+    }
+    assert set(plain) == set(sharp)
+    assert any(plain[k][0] != sharp[k][0] for k in plain)
+    # hole pixels stay transparent: sharpening never invents data
+    for k in plain:
+        assert sharp[k][1] <= plain[k][1] + 0  # no new shaded pixels
