@@ -108,6 +108,17 @@ def _q_tile_isolines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_isolines(tiles, ts, [550.0, 650.0])
 
 
+def _q_tile_posterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector posterization (reference roadmap "Vector output"):
+    height classes + marching-squares boundary stats per tile
+    (rows-only; partition/oracle properties pinned in
+    tests/test_isolines.py)."""
+    from demeton_spark.isolines import tile_posterize
+
+    tiles, ts = _synthetic_tiles(spark)
+    return tile_posterize(tiles, ts, [550.0, 650.0])
+
+
 def _q_shade_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected-raster shade command over the synthetic DEM tile table
     (rows-only; pixel properties pinned in tests/test_render.py)."""
@@ -153,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pyramid_downsample"] = _q_pyramid_downsample
     out["water_components"] = _q_water_components
     out["tile_isolines"] = _q_tile_isolines
+    out["tile_posterize"] = _q_tile_posterize
     out["shade_raster"] = _q_shade_raster
     return out
 

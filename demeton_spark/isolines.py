@@ -209,3 +209,84 @@ def tile_isolines(
             yield pd.DataFrame(rows)
 
     return tiles.mapInPandas(run, schema=ISOLINE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# posterization: raster → vector color classes (reference roadmap
+# "Vector output", /root/reference/docs/Roadmap.md — quantize heights
+# into a small class set, then vectorize the class boundaries with the
+# marching-squares machinery above)
+# ---------------------------------------------------------------------------
+
+POSTERIZE_SCHEMA = (
+    "tile_x int, tile_y int, class_id int, lo double, hi double, "
+    "n_px long, min_x int, min_y int, max_x int, max_y int, "
+    "n_boundary_chains long, boundary_len double"
+)
+
+
+def posterize_classes(heights_f: np.ndarray, thresholds: list[float]) -> np.ndarray:
+    """Height raster → int class raster: class i covers
+    [thresholds[i-1], thresholds[i]); class 0 is below the first mark,
+    class len(thresholds) above the last; missing (NaN) → −1."""
+    classes = np.digitize(np.nan_to_num(heights_f, nan=-np.inf), thresholds)
+    classes = classes.astype(np.int32)
+    classes[np.isnan(heights_f)] = -1
+    return classes
+
+
+def tile_posterize(
+    tiles: DataFrame, tile_size: int, thresholds: list[float]
+) -> DataFrame:
+    """Per-tile posterization: class pixel counts + bbox + vectorized
+    boundary stats (the class boundary IS the iso-contour at the class
+    threshold, so the chains come from the same marching-squares pass).
+    Heavy geometry stays distributed; only stats rows return.
+    """
+    bounds = [-np.inf] + list(thresholds) + [np.inf]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("tile_x", "tile_y", "class_id", "lo", "hi", "n_px",
+                "min_x", "min_y", "max_x", "max_y",
+                "n_boundary_chains", "boundary_len")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["heights"]):
+                grid = kernels.heights_to_float(
+                    np.frombuffer(buf, dtype="<i2").reshape(tile_size, tile_size)
+                )
+                classes = posterize_classes(grid, thresholds)
+                # boundary chains per threshold (shared by the classes on
+                # either side; attributed to the class above the mark)
+                chain_stats = {}
+                for i, level in enumerate(thresholds):
+                    segs = isoline_segments(grid, level)
+                    chains = chain_segments(segs)
+                    length = float(
+                        np.sum(np.hypot(segs[:, 2] - segs[:, 0],
+                                        segs[:, 3] - segs[:, 1]))
+                    ) if len(segs) else 0.0
+                    chain_stats[i + 1] = (len(chains), length)
+                for cid in np.unique(classes):
+                    mask = classes == cid
+                    ys, xs = np.nonzero(mask)
+                    n_ch, blen = chain_stats.get(int(cid), (0, 0.0))
+                    rows["tile_x"].append(int(tx))
+                    rows["tile_y"].append(int(ty))
+                    rows["class_id"].append(int(cid))
+                    rows["lo"].append(
+                        float(bounds[cid]) if cid >= 0 else float("nan")
+                    )
+                    rows["hi"].append(
+                        float(bounds[cid + 1]) if cid >= 0 else float("nan")
+                    )
+                    rows["n_px"].append(int(mask.sum()))
+                    rows["min_x"].append(int(xs.min()))
+                    rows["min_y"].append(int(ys.min()))
+                    rows["max_x"].append(int(xs.max()))
+                    rows["max_y"].append(int(ys.max()))
+                    rows["n_boundary_chains"].append(int(n_ch))
+                    rows["boundary_len"].append(float(blen))
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(run, schema=POSTERIZE_SCHEMA)

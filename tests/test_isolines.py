@@ -107,3 +107,51 @@ def test_tile_isolines_spark(spark):
     assert cone_r["n_closed"] == 1 and cone_r["n_clipped"] == 0
     assert got[(0, 1000.0)]["n_segments"] == 0  # above the peak
     assert got[(1, 405.0)]["n_segments"] == 0  # flat tile
+
+
+def test_tile_posterize_partitions_pixels(spark):
+    """Posterized classes partition every tile's pixels; per-class counts
+    match a whole-world numpy oracle; class boundaries carry the
+    marching-squares chains of their threshold."""
+    from demeton_spark import synth
+    from demeton_spark.isolines import posterize_classes, tile_posterize
+    from demeton_spark.synth import WorldSpec
+    from demeton_spark import kernels
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=30,
+        block_size=10,
+    )
+    world = synth.expected_world_heights(spec)
+    ts = spec.tile_size
+    thresholds = [550.0, 650.0]
+    rows = []
+    for ty_i in range(spec.n_tiles_y):
+        for tx_i in range(spec.n_tiles_x):
+            tile = world[ty_i * ts : (ty_i + 1) * ts, tx_i * ts : (tx_i + 1) * ts]
+            rows.append((spec.lon0 + tx_i, spec.lat0 + ty_i,
+                         bytearray(tile.tobytes())))
+    tiles = spark.createDataFrame(rows, "tile_x int, tile_y int, heights binary")
+    got = tile_posterize(tiles, ts, thresholds).collect()
+
+    # partition: per-tile n_px sums to ts*ts
+    import collections
+    per_tile = collections.Counter()
+    for r in got:
+        per_tile[(r["tile_x"], r["tile_y"])] += r["n_px"]
+    assert all(v == ts * ts for v in per_tile.values())
+
+    # class counts match the whole-world oracle
+    oracle = posterize_classes(kernels.heights_to_float(world), thresholds)
+    import numpy as np
+    world_counts = collections.Counter()
+    for r in got:
+        world_counts[r["class_id"]] += r["n_px"]
+    for cid in np.unique(oracle):
+        assert world_counts[int(cid)] == int((oracle == cid).sum())
+    # at least one non-trivial boundary vectorized
+    assert any(r["n_boundary_chains"] > 0 and r["boundary_len"] > 0 for r in got)
+    # class intervals are well-formed
+    for r in got:
+        if r["class_id"] >= 0:
+            assert r["lo"] < r["hi"] or r["class_id"] in (0, len(thresholds))
