@@ -667,26 +667,29 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-Jaccard verification intersects ints.  ``mh0`` is the min of
     ``hwords`` (salt 0); higher salts rehash the string words.
     """
-    # repartition: documents arrive as one parquet file; interpreted
-    # higher-order hashing on a single core serializes the whole query
+    # explode → codegen projection → groupBy: higher-order lambdas
+    # (transform/array_min) evaluate interpreted, outside whole-stage
+    # codegen, and re-hash per expression occurrence; exploding the
+    # distinct word set lets the 5 md5-based hashes run once per word
+    # row inside codegen, with a hash-aggregate computing the mins and
+    # the sorted hword set (same shape that makes doc_simhash fast).
+    # Hash semantics identical — oracles unchanged.
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    words = F.array_distinct(_words())
-
-    def hasher(salt: int):
-        # single-parameter lambda: a 2-arg lambda would be interpreted by
-        # pyspark as an (element, index) transform and hash the wrong salt
-        return lambda w: _word_hash(w, salt)
-
-    hwords = F.array_sort(F.array_distinct(F.transform(words, hasher(0))))
-    cols = [
+    exploded = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        hwords.alias("hwords"),
-    ]
-    for k in range(_MINHASH_K):
-        cols.append(F.array_min(F.transform(words, hasher(k))).alias(f"mh{k}"))
-    return docs.select(*cols)
+        F.explode(F.array_distinct(_words())).alias("word"),
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[_word_hash(F.col("word"), k).alias(f"h{k}")
+          for k in range(_MINHASH_K)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h0")).alias("hwords"),
+        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_MINHASH_K)],
+    )
 
 
 def q_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
