@@ -874,23 +874,26 @@ def q_doc_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) end"
     )
 
-    def hasher(salt: int):
-        return lambda s: _word_hash(s, salt)
-
     base = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), _words().alias("ws"))
         .select(F.col("doc_id"), shingles.alias("sh"))
     )
-    hs = F.array_sort(F.array_distinct(F.transform(F.col("sh"), hasher(0))))
-    cols = [F.col("doc_id"), hs.alias("hsh")]
-    for k in range(_MINHASH_K):
-        cols.append(
-            F.array_min(F.transform(F.array_distinct(F.col("sh")), hasher(k))).alias(
-                f"mh{k}"
-            )
-        )
-    sig = base.select(*cols).persist()  # same barrier as doc_near_dup_pairs
+    # explode → codegen hash projection → hash-aggregate (same shape as
+    # _doc_signatures: one md5 pass per distinct shingle, no interpreted
+    # per-element lambdas); hash semantics identical, oracle unchanged
+    exploded = base.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[_word_hash(F.col("s"), k).alias(f"h{k}")
+          for k in range(_MINHASH_K)],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h0")).alias("hsh"),
+        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_MINHASH_K)],
+    ).persist()  # same barrier as doc_near_dup_pairs
     band_cols = [f"mh{k}" for k in range(_MINHASH_K)]
     pairs = (
         sig.alias("a")
