@@ -7,34 +7,44 @@ with the reference's sequential per-tile fold replaced by one task per
 tile and its implicit 1-px over-fetch replaced by an explicit halo
 exchange (SURVEY.md §2.3 J3):
 
-  1. ``parse_caption``     — pure Column expressions recover the block's
-                             tile + block coords from the caption
-                             (equi-join key construction, J1).
-  2. ``assemble_tiles``    — groupBy(tile).applyInPandas stitches blocks
-                             into one int16 tile raster (J2 mosaic;
-                             deterministic overwrite order §4.3).
-  3. ``exchange_halo``     — every tile emits 8 edge strips keyed by the
-                             neighbor that needs them; one shuffle
-                             brings a tile and its 8 strips together and
-                             pads to (ts+2)² with DEM_HEIGHT_NONE at
-                             world edges (extract-fill semantics,
-                             Dem/Funcs.fs:395-416).
-  4. ``shade_tiles``       — mapInPandas: Horn p/q on the padded block,
-                             slope/aspect, shading-script evaluation,
-                             Y-flip, RGBA PNG encode
-                             (Hillshading.fs:81-157 vectorized).
-  5. ``run_hillshade``     — end-to-end with optional resumable
-                             checkpointing (anti-join against a per-tile
-                             manifest — Srtm/Fetch.fs negative-cache
-                             semantics) and pixel-count metrics.
+Production path (ONE full-data shuffle — see SCALE.md):
 
-Scale notes: the only wide operations are the two tile-keyed shuffles
-(assembly, halo).  Strip rows are ~0.1% the size of tile rows.  Skewed
-(land-heavy) tiles are handled upstream by AQE skew splitting for the
-shuffle and by the fact that a tile is the atomic work unit — at
-10^12-image scale ``spark.sql.shuffle.partitions`` should be sized to
-tiles, and the assignment join salts naturally because block rows of
-one tile spread across input partitions.
+  1. ``parse_caption``      — pure Column expressions recover the
+                              block's tile + block coords from the
+                              caption (equi-join key construction, J1).
+  2. ``emit_block_strips``  — narrow map over the Catalyst-filtered
+                              border blocks cuts the k-px halo slabs
+                              each neighbor needs (k = 1 + prefilter
+                              steps).
+  3. ``hillshade_parts``    — union of raw (still-compressed) blocks
+                              and strips, keyed by DESTINATION tile.
+  4. ``shade_unified``      — one groupBy(tile).applyInPandas task per
+                              tile: stitch (J2, deterministic overwrite
+                              order §4.3), pad to (ts+2k)² with
+                              DEM_HEIGHT_NONE at world edges
+                              (extract-fill, Dem/Funcs.fs:395-416),
+                              optional blur/sharpen prefilters, Horn
+                              p/q, shading-script evaluation,
+                              point-in-polygon clip, Y-flip, RGBA PNG
+                              encode (Hillshading.fs:81-157 vectorized).
+  5. ``run_hillshade``      — end-to-end with optional resumable
+                              checkpointing (anti-join against a
+                              per-tile manifest — Srtm/Fetch.fs
+                              negative-cache semantics), bbox pruning
+                              for clip polygons, 1-tile-per-task
+                              shuffle granularity, and pixel-count
+                              metrics.
+
+The two-stage topology (``assemble_parts``/``assemble_parts_salted`` →
+``shade_parts``) remains for pathological per-tile skew, where salted
+partial mosaics need their own exchange; ``assemble_tiles``/
+``exchange_halo``/``shade_tiles`` are the unfused building blocks used
+by the pyramid/water/streaming paths and tests.
+
+Scale notes: the single wide operation carries source-compressed
+blocks plus ~0.1%-sized strips; assembled tiles never re-shuffle.
+Skewed (land-heavy) tiles are handled by AQE skew splitting, the
+1-tile-per-task granularity, and the salted path for extremes.
 """
 
 from __future__ import annotations
