@@ -235,6 +235,193 @@ def streaming_assemble_tiles(images: DataFrame, tile_size: int) -> DataFrame:
     )
 
 
+SHADED_STREAM_SCHEMA = (
+    "tile_x int, tile_y int, tile_name string, png binary, "
+    "shaded_px long, total_px long, n_blocks int"
+)
+_SHADE_STATE_SCHEMA = (
+    "done boolean, parts array<string>, bxs array<int>, bys array<int>, "
+    "ids array<string>, fmts array<string>, ws array<int>, hs array<int>, "
+    "blobs array<binary>"
+)
+
+
+def streaming_hillshade(
+    images: DataFrame,
+    tile_size: int,
+    world_bounds: tuple[int, int, int, int],
+    script: str = "elecolor|+igor",
+) -> DataFrame:
+    """Streaming twin of the fused batch topology: incremental
+    hillshade with cross-batch halo exchange, one stateful operator.
+
+    A narrow ``mapInPandas`` turns each micro-batch of image rows into
+    the same destination-keyed parts stream as the batch
+    :func:`demeton_spark.engine.hillshade_parts` (raw blocks + 1-px
+    strips cut from border blocks).  One ``applyInPandasWithState``
+    keyed by destination tile buffers parts across micro-batches and
+    shades the tile EXACTLY ONCE when both its own block grid and every
+    halo strip an existing neighbor will ever send are present —
+    ``world_bounds`` (min tile_x, min tile_y, max tile_x, max tile_y,
+    inclusive) makes completeness decidable without timeouts, the
+    streaming analogue of the reference's known tile list
+    (ShadeCommand.fs:371-400).  Output pixels are byte-identical to the
+    batch pipeline (tested); late duplicates after emission drop
+    (idempotent-import semantics, §2.11).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import pipeline as _pipeline_mod  # noqa: F401  (engine deps)
+    from .engine import (
+        _BLOCK_STRIP_SPEC,
+        _decode_block,
+        _place_strip,
+        _tile_name,
+        shade_padded_block,
+    )
+    from .pipeline import parse_script
+    from .tiles import DEM_HEIGHT_NONE
+
+    steps = parse_script(script)
+    tx0, ty0, tx1, ty1 = world_bounds
+
+    def emit_parts(batches):
+        cols = ("tile_x", "tile_y", "part", "bx", "by", "image_id",
+                "w", "h", "fmt", "data")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+
+            def push(tx, ty, part, bx, by, iid, w, h, fmt, data):
+                out["tile_x"].append(tx)
+                out["tile_y"].append(ty)
+                out["part"].append(part)
+                out["bx"].append(bx)
+                out["by"].append(by)
+                out["image_id"].append(iid)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(fmt)
+                out["data"].append(data)
+
+            for r in pdf.itertuples():
+                w, h, bx, by = int(r.w), int(r.h), int(r.bx), int(r.by)
+                push(int(r.tile_x), int(r.tile_y), "B", bx, by,
+                     str(r.image_id), w, h, str(r.fmt), bytes(r.bytes))
+                nx, ny = tile_size // w, tile_size // h
+                block = None
+                for on_edge, (dx, dy), part, cut in _BLOCK_STRIP_SPEC:
+                    if not on_edge(bx, by, nx, ny):
+                        continue
+                    dtx, dty = int(r.tile_x) + dx, int(r.tile_y) + dy
+                    if not (tx0 <= dtx <= tx1 and ty0 <= dty <= ty1):
+                        continue  # strips past the world edge
+                    if block is None:
+                        block = _decode_block(str(r.fmt), bytes(r.bytes), w)
+                    push(dtx, dty, part, bx, by, str(r.image_id), w, h,
+                         "raw", np.ascontiguousarray(cut(block, 1)).tobytes())
+            yield pd.DataFrame(out)
+
+    from .engine import parse_caption
+
+    parts = parse_caption(images).mapInPandas(
+        emit_parts,
+        schema=("tile_x int, tile_y int, part string, bx int, by int, "
+                "image_id string, w int, h int, fmt string, data binary"),
+    )
+
+    def expected_strips(tx: int, ty: int, nx: int, ny: int) -> set:
+        """(part, bx, by) triples this tile will eventually receive,
+        given which neighbors exist inside world_bounds."""
+        exp = set()
+        for on_edge, (dx, dy), part, _cut in _BLOCK_STRIP_SPEC:
+            # sender is the neighbor at (tx-dx, ty-dy)
+            sx, sy = tx - dx, ty - dy
+            if not (tx0 <= sx <= tx1 and ty0 <= sy <= ty1):
+                continue
+            for by in range(ny):
+                for bx in range(nx):
+                    if on_edge(bx, by, nx, ny):
+                        exp.add((part, bx, by))
+        return exp
+
+    def _shade_update(key, pdfs, state: GroupState):
+        if state.exists:
+            st = state.get
+            done = st[0]
+            parts_l = list(st[1]); bxs = list(st[2]); bys = list(st[3])
+            ids = list(st[4]); fmts = list(st[5])
+            ws = list(st[6]); hs = list(st[7]); blobs = list(st[8])
+        else:
+            done = False
+            parts_l, bxs, bys, ids, fmts, ws, hs, blobs = ([] for _ in range(8))
+        if done:
+            return
+        for pdf in pdfs:
+            parts_l.extend(str(v) for v in pdf["part"])
+            bxs.extend(int(v) for v in pdf["bx"])
+            bys.extend(int(v) for v in pdf["by"])
+            ids.extend(str(v) for v in pdf["image_id"])
+            fmts.extend(str(v) for v in pdf["fmt"])
+            ws.extend(int(v) for v in pdf["w"])
+            hs.extend(int(v) for v in pdf["h"])
+            blobs.extend(bytes(v) for v in pdf["data"])
+        if not ws:
+            return
+        ts = tile_size
+        nx, ny = ts // ws[0], ts // hs[0]
+        have_blocks = {(bxs[i], bys[i]) for i in range(len(parts_l))
+                       if parts_l[i] == "B"}
+        have_strips = {(parts_l[i], bxs[i], bys[i])
+                       for i in range(len(parts_l)) if parts_l[i] != "B"}
+        tx, ty = int(key[0]), int(key[1])
+        if (len(have_blocks) < nx * ny
+                or not expected_strips(tx, ty, nx, ny) <= have_strips):
+            state.update((False, parts_l, bxs, bys, ids, fmts, ws, hs, blobs))
+            return
+        padded = np.full((ts + 2, ts + 2), DEM_HEIGHT_NONE, dtype=np.int16)
+        order = sorted(range(len(parts_l)),
+                       key=lambda i: (bys[i], bxs[i], ids[i]))
+        n_blocks = 0
+        for i in order:
+            if parts_l[i] != "B":
+                continue
+            block = _decode_block(fmts[i], blobs[i], ws[i])
+            y0, x0 = 1 + bys[i] * hs[i], 1 + bxs[i] * ws[i]
+            padded[y0 : y0 + hs[i], x0 : x0 + ws[i]] = block
+            n_blocks += 1
+        for i in order:
+            if parts_l[i] == "B":
+                continue
+            cells = np.frombuffer(blobs[i], dtype="<i2")
+            _place_strip(padded, parts_l[i], cells, bxs[i], bys[i],
+                         ws[i], hs[i], ts, 1)
+        from . import codec
+
+        rgba, shaded = shade_padded_block(padded, tx, ty, ts, steps)
+        state.update((True, [], [], [], [], [], [], [], []))
+        yield pd.DataFrame(
+            {
+                "tile_x": [tx],
+                "tile_y": [ty],
+                "tile_name": [_tile_name(0, tx, ty)],
+                "png": [codec.encode_rgba_png(rgba)],
+                "shaded_px": [shaded],
+                "total_px": [ts * ts],
+                "n_blocks": [n_blocks],
+            }
+        )
+
+    return parts.groupBy("tile_x", "tile_y").applyInPandasWithState(
+        _shade_update,
+        outputStructType=SHADED_STREAM_SCHEMA,
+        stateStructType=_SHADE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,

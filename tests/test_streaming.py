@@ -172,3 +172,58 @@ def test_streaming_tile_assembly_spans_micro_batches(spark, tmp_path):
         b = batch[(r["tile_x"], r["tile_y"])]
         assert bytes(r["heights"]) == bytes(b["heights"])
         assert r["n_blocks"] == b["n_blocks"]
+
+
+def test_streaming_hillshade_matches_batch(spark, tmp_path):
+    """Incremental hillshade with cross-batch halo exchange: blocks
+    split across two micro-batches so no tile can shade in batch one;
+    final PNGs must be byte-identical to the batch pipeline's."""
+    from demeton_spark import engine, synth
+    from demeton_spark.synth import WorldSpec
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=30,
+        block_size=10, skew_factor=3,
+    )
+    images = synth.images_df(spark, spec)
+    pdf = images.toPandas()
+    import re as _re
+
+    def parity(caption):
+        m = _re.search(r"block \((\d+),(\d+)\)", caption)
+        return (int(m.group(1)) + int(m.group(2))) % 2
+
+    mask = pdf["caption"].map(parity) == 0
+    src = str(tmp_path / "img_stream2")
+    schema = streaming.IMAGES_SCHEMA
+    spark.createDataFrame(pdf[mask], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(pdf[~mask], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    bounds = (spec.lon0, spec.lat0,
+              spec.lon0 + spec.n_tiles_x - 1, spec.lat0 + spec.n_tiles_y - 1)
+    stream_in = streaming.read_images_stream(spark, src, max_files_per_trigger=1)
+    got = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in streaming.run_to_memory(
+            streaming.streaming_hillshade(stream_in, spec.tile_size, bounds),
+            "stream_shaded",
+            str(tmp_path / "ckpt_shade"),
+            output_mode="append",
+        ).collect()
+    }
+    batch = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in engine.run_hillshade(
+            spark, images, spec.tile_size, script="elecolor|+igor"
+        ).collect()
+    }
+    assert set(got) == set(batch) == {(13, 45), (14, 45), (13, 46), (14, 46)}
+    from demeton_spark import codec
+
+    for k in got:
+        assert codec.decode_rgba_png(bytes(got[k]["png"])).tobytes() == \
+            codec.decode_rgba_png(bytes(batch[k]["png"])).tobytes()
+        assert got[k]["shaded_px"] == batch[k]["shaded_px"]
+        assert got[k]["n_blocks"] == batch[k]["n_blocks"]
