@@ -126,3 +126,64 @@ def read_tiles_for_bbox(
         & (F.col("tile_y") >= ty0)
         & (F.col("tile_y") <= ty1)
     )
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON tile index (SURVEY.md §2.7 json row): the reference parses the
+# WorldCover grid GeoJSON to learn which tiles exist
+# (/root/reference/Demeton/WorldCover/Fetch.fs:43-61 reads
+# features[*].properties.ll_tile) and uses set membership to skip absent
+# tiles (Commands/DemWithWaterBodiesCommand.fs:216-221, §2.6).  Here the
+# parse is pure Catalyst — from_json + explode + array aggregates — and
+# the membership test is a broadcast left-semi join.
+# ---------------------------------------------------------------------------
+
+TILE_INDEX_JSON_SCHEMA = (
+    "struct<type:string, features:array<struct<"
+    "properties:struct<ll_tile:string>, "
+    "geometry:struct<type:string, "
+    "coordinates:array<array<array<double>>>>>>>"
+)
+
+
+def parse_tile_index_geojson(raw: DataFrame, col: str = "value") -> DataFrame:
+    """GeoJSON FeatureCollection strings → available-tile dimension.
+
+    One row per feature: ``(tile_name, tile_x, tile_y, min_lon, min_lat,
+    max_lon, max_lat)`` — the name comes from ``properties.ll_tile``
+    (HGT style, parsed with the same sign/zero-pad rules as
+    parseTileName, Dem/Funcs.fs:157-188), the bbox from the polygon
+    ring.  All column expressions; no JSON touches Python.
+    """
+    feat = raw.select(
+        F.explode(
+            F.from_json(F.col(col), TILE_INDEX_JSON_SCHEMA)["features"]
+        ).alias("f")
+    )
+    name = F.col("f.properties.ll_tile")
+    lat_sign = F.when(F.substring(name, 1, 1) == "N", 1).otherwise(-1)
+    lon_sign = F.when(F.substring(name, 4, 1) == "E", 1).otherwise(-1)
+    ring = F.flatten(F.col("f.geometry.coordinates"))
+    lons = F.transform(ring, lambda p: p[0])
+    lats = F.transform(ring, lambda p: p[1])
+    return feat.select(
+        name.alias("tile_name"),
+        (lon_sign * F.substring(name, 5, 3).cast("int")).alias("tile_x"),
+        (lat_sign * F.substring(name, 2, 2).cast("int")).alias("tile_y"),
+        F.array_min(lons).alias("min_lon"),
+        F.array_min(lats).alias("min_lat"),
+        F.array_max(lons).alias("max_lon"),
+        F.array_max(lats).alias("max_lat"),
+    )
+
+
+def filter_to_available_tiles(
+    tiles: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Keep only tiles present in the (broadcast) tile index — the
+    reference's available-set membership as a left-semi join (§2.6)."""
+    return tiles.join(
+        F.broadcast(index.select("tile_x", "tile_y")),
+        on=["tile_x", "tile_y"],
+        how="left_semi",
+    )

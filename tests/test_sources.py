@@ -70,3 +70,51 @@ def test_tile_table_round_trips_heights(spark, tile_table):
     ts = SPEC.tile_size
     block = np.frombuffer(bytes(r["heights"]), dtype="<i2").reshape(ts, ts)
     assert np.array_equal(block, world[0:ts, ts : 2 * ts])
+
+
+def test_geojson_tile_index_parse_and_semi_join(spark):
+    """GeoJSON FeatureCollection → available-tile dimension via
+    from_json (no Python in the parse), then the reference's set
+    membership as a broadcast left-semi join."""
+    import json
+
+    def feature(name, lon, lat):
+        return {
+            "type": "Feature",
+            "properties": {"ll_tile": name},
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[
+                    [lon, lat], [lon + 1, lat], [lon + 1, lat + 1],
+                    [lon, lat + 1], [lon, lat],
+                ]],
+            },
+        }
+
+    doc = json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            feature("N45E013", 13, 45),
+            feature("N46E014", 14, 46),
+            feature("S02W071", -71, -2),
+        ],
+    })
+    raw = spark.createDataFrame([(doc,)], "value string")
+    idx = sources.parse_tile_index_geojson(raw)
+    rows = {r["tile_name"]: r for r in idx.collect()}
+    assert set(rows) == {"N45E013", "N46E014", "S02W071"}
+    assert (rows["N45E013"]["tile_x"], rows["N45E013"]["tile_y"]) == (13, 45)
+    assert (rows["S02W071"]["tile_x"], rows["S02W071"]["tile_y"]) == (-71, -2)
+    assert rows["N46E014"]["min_lon"] == 14.0
+    assert rows["N46E014"]["max_lat"] == 47.0
+
+    tiles = spark.createDataFrame(
+        [(13, 45, b"x"), (14, 46, b"y"), (15, 45, b"z")],
+        "tile_x int, tile_y int, heights binary",
+    )
+    kept = sources.filter_to_available_tiles(tiles, idx)
+    assert sorted((r["tile_x"], r["tile_y"]) for r in kept.collect()) == [
+        (13, 45), (14, 46),
+    ]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
