@@ -644,7 +644,16 @@ def shade_unified(
         tile_x = int(pdf["tile_x"].iloc[0])
         tile_y = int(pdf["tile_y"].iloc[0])
         padded = np.full((ts + 2 * k, ts + 2 * k), fill, dtype=np.int16)
-        blocks = blocks.sort_values(["by", "bx", "image_id"])
+        n_blocks_in = int(is_block.sum())  # lineage: rows consumed
+        # overwrite-order dedup: in (by, bx, image_id) order only the
+        # LAST block per position is ever visible, so decode just the
+        # winners — duplicate-heavy ("land") tiles cost one decode per
+        # position no matter how many copies arrived (the skew defense
+        # that makes salting unnecessary short of cluster-scale
+        # hotspots; output byte-identical, tested)
+        blocks = blocks.sort_values(["by", "bx", "image_id"]).drop_duplicates(
+            ["bx", "by"], keep="last"
+        )
         for fmt, payload, w, h, bx, by in zip(
             blocks["fmt"], blocks["data"], blocks["w"], blocks["h"],
             blocks["bx"], blocks["by"],
@@ -654,10 +663,12 @@ def shade_unified(
             padded[y0 : y0 + int(h), x0 : x0 + int(w)] = block
         strips = pdf[~is_block]
         if not strips.empty:
-            # replay the same (by, bx, image_id) overwrite order the
-            # sender's assembly used, so duplicate edge blocks resolve
-            # identically on both sides of the tile boundary
-            strips = strips.sort_values(["by", "bx", "image_id"])
+            # same overwrite-order winner selection per strip position:
+            # duplicate edge blocks resolve identically on both sides
+            # of the tile boundary
+            strips = strips.sort_values(
+                ["by", "bx", "image_id"]
+            ).drop_duplicates(["part", "bx", "by"], keep="last")
             for part, payload, w, h, bx, by in zip(
                 strips["part"], strips["data"], strips["w"], strips["h"],
                 strips["bx"], strips["by"],
@@ -680,7 +691,7 @@ def shade_unified(
                 "png": [codec.encode_rgba_png(rgba)],
                 "shaded_px": [shaded],
                 "total_px": [ts * ts],
-                "n_blocks": [int(is_block.sum())],
+                "n_blocks": [n_blocks_in],
             }
         )
 
