@@ -41,6 +41,15 @@ def main() -> None:
     ap.add_argument("--script", default="elecolor|+igor")
     ap.add_argument("--salt-buckets", type=int, default=0,
                     help=">1 enables two-phase salted assembly for skew")
+    ap.add_argument("--clip-polygon", default=None,
+                    help="lon1,lat1;lon2,lat2;... — clip the raster to "
+                         "this polygon (bbox tile pruning + per-pixel PIP)")
+    ap.add_argument("--prefilter", default=None,
+                    help="height prefilter script, e.g. 'blur' or "
+                         "'sharpen(amount=1.5)' (widens the halo)")
+    ap.add_argument("--shade-partitions", type=int, default=0,
+                    help="shuffle partitions for the shade exchange "
+                         "(ideally the tile count; default 4x cores)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--synthetic", metavar="SF",
                     help="generate a synthetic world instead of --input "
@@ -69,6 +78,12 @@ def main() -> None:
         images = spark.read.parquet(args.input)
         tile_size = args.tile_size
 
+    clip = None
+    if args.clip_polygon:
+        clip = [
+            tuple(float(c) for c in pt.split(","))
+            for pt in args.clip_polygon.split(";") if pt
+        ]
     shaded = run_hillshade(
         spark,
         images,
@@ -77,6 +92,9 @@ def main() -> None:
         output_dir=args.output,
         resume=not args.no_resume,
         salt_buckets=args.salt_buckets or None,
+        clip_polygon=clip,
+        prefilter=args.prefilter,
+        shade_partitions=args.shade_partitions or None,
     )
     summary = shaded.agg(
         F.count("*").alias("tiles"),
