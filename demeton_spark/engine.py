@@ -397,6 +397,8 @@ def shade_parts(
     """Fused stage B: halo-pad + Horn + shaders + PNG encode in one
     applyInPandas (one shuffle keyed by destination tile)."""
     steps = pipeline.parse_script(script)
+    registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
+    # registered on the driver ride the closure to executor processes
 
     def pad_and_shade(pdf: pd.DataFrame) -> pd.DataFrame:
         parts_map = dict(zip(pdf["part"], pdf["data"]))
@@ -416,7 +418,8 @@ def shade_parts(
         )
         padded = _pad_from_parts(parts_map, ts)
         rgba, shaded = shade_padded_block(
-            padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly
+            padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly,
+            registry=registry,
         )
         return pd.DataFrame(
             {
@@ -625,6 +628,8 @@ def shade_unified(
     kernels.PREFILTERS (e.g. ``"blur"`` or ``"sharpen(amount=1.5)"``);
     each step consumes one halo ring, so halo must be 1 + n_steps."""
     steps = pipeline.parse_script(script)
+    registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
+    # registered on the driver ride the closure to executor processes
     pre_steps = pipeline.parse_script(prefilter) if prefilter else []
     if halo != 1 + len(pre_steps):
         raise ValueError(
@@ -679,7 +684,8 @@ def shade_unified(
         if pre_steps:
             padded = apply_prefilters(padded, pre_steps)
         rgba, shaded = shade_padded_block(
-            padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly
+            padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly,
+            registry=registry,
         )
         return pd.DataFrame(
             {
@@ -726,6 +732,7 @@ def shade_padded_block(
     steps,
     water: np.ndarray | None = None,
     clip_poly: np.ndarray | None = None,
+    registry: dict | None = None,
 ) -> tuple[np.ndarray, int]:
     """Numpy core shared by the Spark path and the single-array oracle.
 
@@ -765,7 +772,7 @@ def shade_padded_block(
             water=None if water is None else water[r0:r1, :],
             heights_are_int16=True,  # straight from the int16 grid
         )
-        rgba = pipeline.evaluate_steps(steps, ctx)
+        rgba = pipeline.evaluate_steps(steps, ctx, registry=registry)
         if clip_poly is not None:
             # point-in-polygon raster clip (north-star: "point-in-polygon
             # tests clip rasters to requested geo bounds"): pixels whose
@@ -791,6 +798,8 @@ def shade_tiles(
 ) -> DataFrame:
     """Run the shading pipeline over halo-padded tiles (one task per tile)."""
     steps = pipeline.parse_script(script)
+    registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
+    # registered on the driver ride the closure to executor processes
 
     def shade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -803,7 +812,8 @@ def shade_tiles(
                     tile_size + 2, tile_size + 2
                 )
                 rgba, shaded = shade_padded_block(
-                    padded, int(tx), int(ty), tile_size, steps
+                    padded, int(tx), int(ty), tile_size, steps,
+                    registry=registry,
                 )
                 from .tiles import tile_name as _tname
 
@@ -850,6 +860,8 @@ def run_tile_shade(
     shader steps.
     """
     steps = pipeline.parse_script(script)
+    registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
+    # registered on the driver ride the closure to executor processes
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ts = tile_size
@@ -884,7 +896,8 @@ def run_tile_shade(
             offs == 0, DEM_HEIGHT_NONE, offs + codec._XTH_MIN_HEIGHT
         ).astype(np.int16)
         rgba, shaded = shade_padded_block(
-            heights, tile_x, tile_y, ts, steps, water=water_pad[1:-1, 1:-1]
+            heights, tile_x, tile_y, ts, steps, water=water_pad[1:-1, 1:-1],
+            registry=registry,
         )
         return pd.DataFrame(
             {
@@ -1038,6 +1051,8 @@ def shade_world_oracle(
     distributed path; ``prefilter`` the same height low/high-pass chain.
     """
     steps = pipeline.parse_script(script)
+    registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
+    # registered on the driver ride the closure to executor processes
     pre_steps = pipeline.parse_script(prefilter) if prefilter else []
     k = 1 + len(pre_steps)
     ts = spec.tile_size

@@ -231,19 +231,28 @@ def register_shader(name: str, func) -> None:
     SHADER_REGISTRY[name] = func
 
 
-def evaluate_steps(steps: list[Step], ctx: ShadeContext) -> np.ndarray:
+def evaluate_steps(
+    steps: list[Step], ctx: ShadeContext, registry: dict | None = None
+) -> np.ndarray:
     """Fold steps left-deep with "over" compositing (Building.fs:72-107).
 
     A step may carry ``compose=darken`` to switch the operator joining it
     onto the pipeline so far (TileShadeCommand's darken chain,
     Commands/TileShadeCommand.fs:333-388).
     Returns the RGBA image in DEM orientation (row 0 = south).
+
+    ``registry`` overrides the module registry — the engine snapshots
+    the driver's SHADER_REGISTRY into the UDF closure at plan time so
+    shaders registered at runtime (register_shader) travel to executor
+    processes with the task (a worker's freshly imported module never
+    sees driver-side mutations).
     """
+    reg = SHADER_REGISTRY if registry is None else registry
     image: np.ndarray | None = None
     for step in steps:
-        if step.name not in SHADER_REGISTRY:
+        if step.name not in reg:
             raise ValueError(f"Unrecognized shading step '{step.name}'.")
-        layer = SHADER_REGISTRY[step.name](ctx, step.params)
+        layer = reg[step.name](ctx, step.params)
         if image is None:
             image = layer
         else:

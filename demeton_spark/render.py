@@ -137,6 +137,7 @@ def render_shaded_raster(
     """
     proj = projection or Mercator(map_scale)
     steps = pipeline.parse_script(script)
+    registry = dict(pipeline.SHADER_REGISTRY)  # driver snapshot for executors
     mbr = raster_mbr(proj, coverage_points_deg)
     raster_tiles = split_into_tiles(mbr, raster_tile_px)
 
@@ -227,7 +228,7 @@ def render_shaded_raster(
             ctx = pipeline.ShadeContext(
                 heights=hgt[(0, 0)], slope=slope, aspect=aspect
             )
-            rgba = pipeline.evaluate_steps(steps, ctx)
+            rgba = pipeline.evaluate_steps(steps, ctx, registry=registry)
             shaded += int(np.count_nonzero(rgba[..., 3] > 0))
             out[r0:r1] = rgba
         return pd.DataFrame(

@@ -285,6 +285,9 @@ def streaming_hillshade(
     from .tiles import DEM_HEIGHT_NONE
 
     steps = parse_script(script)
+    from .pipeline import SHADER_REGISTRY
+
+    registry = dict(SHADER_REGISTRY)  # driver snapshot for executors
     tx0, ty0, tx1, ty1 = world_bounds
 
     def emit_parts(batches):
@@ -399,7 +402,8 @@ def streaming_hillshade(
                          ws[i], hs[i], ts, 1)
         from . import codec
 
-        rgba, shaded = shade_padded_block(padded, tx, ty, ts, steps)
+        rgba, shaded = shade_padded_block(padded, tx, ty, ts, steps,
+                                          registry=registry)
         state.update((True, [], [], [], [], [], [], [], []))
         yield pd.DataFrame(
             {

@@ -367,3 +367,53 @@ def test_sharpen_prefilter_changes_output_but_not_holes(spark, images):
     # hole pixels stay transparent: sharpening never invents data
     for k in plain:
         assert sharp[k][1] <= plain[k][1] + 0  # no new shaded pixels
+
+
+def test_custom_shader_registry_reaches_executors(spark, images):
+    """The §2.10 UDF extension surface: a shader registered at runtime
+    on the driver must run inside executor tasks (the engine snapshots
+    the registry into the UDF closure — a worker's freshly imported
+    module never sees driver-side mutations).  Unknown step names are
+    rejected like the reference's factory (Pipeline/Common.fs:35-36)."""
+    from demeton_spark import pipeline as P
+
+    def redtint(ctx, params):
+        out = np.zeros((*ctx.heights.shape, 4), dtype=np.uint8)
+        out[..., 0] = 200
+        out[..., 3] = np.where(np.isnan(ctx.heights), 0, 60).astype(np.uint8)
+        return out
+
+    P.register_shader("redtint", redtint)
+    try:
+        tinted = {
+            (r["tile_x"], r["tile_y"]): bytes(r["png"])
+            for r in engine.run_hillshade(
+                spark, images, SPEC.tile_size, script="elecolor|+redtint"
+            ).collect()
+        }
+    finally:
+        del P.SHADER_REGISTRY["redtint"]
+    plain = {
+        (r["tile_x"], r["tile_y"]): bytes(r["png"])
+        for r in engine.run_hillshade(
+            spark, images, SPEC.tile_size, script="elecolor"
+        ).collect()
+    }
+    assert set(tinted) == set(plain)
+    k = next(iter(tinted))
+    a = codec.decode_rgba_png(tinted[k]).astype(np.int64)
+    b = codec.decode_rgba_png(plain[k]).astype(np.int64)
+    # the custom layer is (200, 0, 0, 60) over the opaque elecolor base:
+    # out = rint((src*60 + base*195)/255) exactly, channel-wise
+    visible = b[..., 3] == 255
+    for ch, src in ((0, 200), (1, 0), (2, 0)):
+        expected = np.rint(
+            (src * 60 + b[..., ch] * 195) / 255.0
+        ).astype(np.int64)
+        assert (a[..., ch][visible] == expected[visible]).all()
+    assert (a != b).any()  # tint visibly applied
+
+    with pytest.raises(Exception, match="Unrecognized|nosuchshader"):
+        engine.run_hillshade(
+            spark, images, SPEC.tile_size, script="nosuchshader"
+        ).collect()
