@@ -417,3 +417,44 @@ def test_custom_shader_registry_reaches_executors(spark, images):
         engine.run_hillshade(
             spark, images, SPEC.tile_size, script="nosuchshader"
         ).collect()
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # single-block tiles: each block is simultaneously on every
+        # tile edge and donates strips in all 8 directions
+        WorldSpec(lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2,
+                  tile_size=24, block_size=24),
+        # fine block grid
+        WorldSpec(lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2,
+                  tile_size=40, block_size=8),
+        # non-square world: a 3x1 strip exercises east-west halos only
+        WorldSpec(lon0=10, lat0=50, n_tiles_x=3, n_tiles_y=1,
+                  tile_size=30, block_size=10),
+        # skewed duplicates + fine grid
+        WorldSpec(lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2,
+                  tile_size=30, block_size=10, skew_factor=4),
+    ],
+    ids=["single-block-tiles", "fine-grid", "nonsquare-world", "skewed"],
+)
+def test_tiled_parity_across_world_shapes(spark, spec):
+    """Fused single-shuffle pipeline == untiled oracle for every world
+    shape (block==tile, fine grids, non-square, duplicate-heavy)."""
+    shaded = engine.run_hillshade(
+        spark, synth.images_df(spark, spec), spec.tile_size,
+        script="elecolor|+igor",
+    ).collect()
+    assert len(shaded) == spec.n_tiles_x * spec.n_tiles_y
+    world = synth.expected_world_heights(spec)
+    oracle = engine.shade_world_oracle(world, spec, script="elecolor|+igor")
+    ts = spec.tile_size
+    for r in shaded:
+        rgba = codec.decode_rgba_png(bytes(r["png"]))
+        tx_i = r["tile_x"] - spec.lon0
+        ty_i = r["tile_y"] - spec.lat0
+        y0 = (spec.n_tiles_y - 1 - ty_i) * ts
+        x0 = tx_i * ts
+        assert np.array_equal(rgba, oracle[y0 : y0 + ts, x0 : x0 + ts]), (
+            f"tile ({r['tile_x']},{r['tile_y']}) mismatch for {spec}"
+        )
