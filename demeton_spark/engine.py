@@ -1051,8 +1051,9 @@ def shade_world_oracle(
     distributed path; ``prefilter`` the same height low/high-pass chain.
     """
     steps = pipeline.parse_script(script)
-    registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
-    # registered on the driver ride the closure to executor processes
+    registry = dict(pipeline.SHADER_REGISTRY)  # same snapshot semantics
+    # as the distributed path (oracle runs driver-side, so this is the
+    # current registry either way)
     pre_steps = pipeline.parse_script(prefilter) if prefilter else []
     k = 1 + len(pre_steps)
     ts = spec.tile_size
@@ -1073,7 +1074,7 @@ def shade_world_oracle(
     ctx = pipeline.ShadeContext(
         heights=f[1:-1, 1:-1], slope=slope, aspect=aspect
     )
-    rgba = pipeline.evaluate_steps(steps, ctx)
+    rgba = pipeline.evaluate_steps(steps, ctx, registry=registry)
     if clip_poly is not None:
         from .geometry import points_in_polygon
 
