@@ -92,7 +92,7 @@ def ensure_synth_table(spark, spec: WorldSpec, sf: float) -> str:
 
 
 def run_hillshade_bench(spark, spec: WorldSpec, images_path: str,
-                        trials: int = 3) -> dict:
+                        trials: int = 4) -> dict:
     """Measure the full pipeline: read → assign → assemble → halo → shade.
 
     Forces execution with a metrics aggregate (no PNG collection to the
@@ -149,7 +149,7 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
             for name in HEADLINE_QUERIES:
                 fn = QUERIES[name]
                 best = None
-                for _ in range(2):  # best-of-2: sandbox CPU-steal variance
+                for _ in range(3):  # best-of-3: sandbox CPU-steal variance
                     t0 = time.time()
                     fn(spark, sf_dir).count()
                     trial = time.time() - t0
