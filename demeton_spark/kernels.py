@@ -164,6 +164,50 @@ def shade_igor(
     return out
 
 
+def igor_alpha(
+    slope: np.ndarray,
+    aspect: np.ndarray,
+    sun_azimuth_rad: float = math.radians(DEFAULT_SUN_AZIMUTH_DEG),
+    intensity: float = 1.0,
+) -> np.ndarray:
+    """Igor darkness as a bare uint8 alpha plane (NaN aspect → 0).
+
+    Exactly the alpha channel :func:`shade_igor` would produce — the
+    fused igor-over-opaque path uses it to skip materializing the RGBA
+    layer (the RGB is constant black there).
+    """
+    valid = ~np.isnan(aspect)
+    two_pi = math.pi * 2.0
+    saz = float(normalize_angle(sun_azimuth_rad, two_pi))
+    aspect_n = aspect - two_pi * np.floor(aspect / two_pi)
+    diff = np.abs(aspect_n - saz)
+    aspect_diff = np.where(diff > math.pi, two_pi - diff, diff)
+    darkness = (slope / (math.pi / 2.0)) * (aspect_diff / math.pi) * intensity
+    return ratio_to_byte(np.where(valid, darkness, 0.0))
+
+
+def _rdiv255(x: np.ndarray) -> np.ndarray:
+    """Exact rint(x/255) for non-negative integer x: (2x+255)//510.
+    x/255 never lands on .5 (255 is odd), so half-up == half-even ==
+    this pure-integer form — and numpy's constant integer division is
+    ~17× faster than the float multiply + rint it replaces."""
+    return (2 * x + 255) // 510
+
+
+def darken_opaque_by_alpha(dest: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """Composite a black source with the given alpha over a fully
+    opaque destination: out_rgb = rint(dst·(255−α)/255), out_α = 255 —
+    byte-identical to composite_over's black-source fast path without
+    ever building the source RGBA."""
+    inv = (255 - alpha.astype(np.uint32))[..., None]
+    out = np.empty_like(dest)
+    out[..., :3] = _rdiv255(
+        dest[..., :3].astype(np.uint32) * inv
+    ).astype(np.uint8)
+    out[..., 3] = 255
+    return out
+
+
 def shade_lambert(
     slope: np.ndarray,
     aspect: np.ndarray,
@@ -273,24 +317,23 @@ def composite_over(source: np.ndarray, dest: np.ndarray) -> np.ndarray:
         # base layer): A is the constant 65025, so the division becomes
         # rgb = rint((src·sa + dst·(255−sa)) / 255) with a constant
         # divisor — exact, since x/255 never lands on .5 for integer x
-        inv = (255 - sa8)[..., None]
+        inv = (255 - sa8)[..., None].astype(np.uint32)
         out = np.empty_like(source)
         if not source[..., :3].any():
             # black source (igor/lambert/slope default shading color):
             # the src·sa term vanishes — out = rint(dst·(255−sa)/255),
             # one multiply instead of two multiplies + add, and the
             # sa=255 short-circuit is already exact (rgb 0, alpha 255)
-            num = dest[..., :3].astype(np.int32) * inv
-            out[..., :3] = np.rint(num * np.float32(1.0 / 255.0)).astype(
-                np.uint8
-            )
+            num = dest[..., :3].astype(np.uint32) * inv
+            out[..., :3] = _rdiv255(num).astype(np.uint8)
             out[..., 3] = 255
             return out
         num = (
-            source[..., :3].astype(np.int32) * sa8[..., None]
-            + dest[..., :3].astype(np.int32) * inv
+            source[..., :3].astype(np.uint32)
+            * sa8[..., None].astype(np.uint32)
+            + dest[..., :3].astype(np.uint32) * inv
         )
-        out[..., :3] = np.rint(num * np.float32(1.0 / 255.0)).astype(np.uint8)
+        out[..., :3] = _rdiv255(num).astype(np.uint8)
         out[..., 3] = 255
         np.copyto(out, source, where=(sa8 == 255)[..., None])
         return out

@@ -252,6 +252,28 @@ def evaluate_steps(
     for step in steps:
         if step.name not in reg:
             raise ValueError(f"Unrecognized shading step '{step.name}'.")
+        if (
+            image is not None
+            and step.name == "igor"
+            and step.params.get("compose", "over") == "over"
+            and _color(step.params, "shadcol", (0, 0, 0, 0))[:3] == (0, 0, 0)
+            and bool((image[..., 3] == 255).all())
+        ):
+            # fused igor-over-opaque: the layer's RGB is constant black,
+            # so only its alpha matters — skip materializing the RGBA
+            # layer and darken the base directly (byte-identical to
+            # shade_igor + composite_over's black-source path; the
+            # identity is pinned by a dedicated test)
+            alpha = kernels.igor_alpha(
+                ctx.slope,
+                ctx.aspect,
+                sun_azimuth_rad=math.radians(
+                    float(step.params.get("sunaz", -45.0))
+                ),
+                intensity=float(step.params.get("intensity", 1.0)),
+            )
+            image = kernels.darken_opaque_by_alpha(image, alpha)
+            continue
         layer = reg[step.name](ctx, step.params)
         if image is None:
             image = layer

@@ -16,6 +16,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from demeton_spark import kernels
+from demeton_spark.colors import MAPERITIVE_SCALE
 from demeton_spark.geometry import (
     EARTH_RADIUS_M,
     deg_to_rad,
@@ -265,3 +266,42 @@ def test_resample_majority_binary():
     mask = np.array([[1, 1, 0, 0], [1, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 1]], dtype=np.int16)
     out = kernels.resample_majority_binary(mask, 2, 2)
     assert out[0, 0] == 1 and out[0, 1] == 0 and out[1, 0] == 0 and out[1, 1] == 0
+
+
+def test_fused_igor_over_opaque_identical_to_unfused():
+    """The evaluate_steps fused branch must be byte-identical to the
+    unfused shade_igor + composite_over composition, including NaN
+    aspect (transparent igor pixels leave the base untouched)."""
+    import math
+
+    from demeton_spark import pipeline as P
+
+    rng = np.random.default_rng(7)
+    h, w = 64, 64
+    slope = rng.uniform(0, math.pi / 2, (h, w))
+    aspect = rng.uniform(0, 2 * math.pi, (h, w))
+    aspect[5:9, 5:9] = np.nan
+    slope[5:9, 5:9] = np.nan
+    heights = rng.uniform(0, 3000, (h, w))
+    ctx = P.ShadeContext(heights=heights, slope=slope, aspect=aspect)
+
+    for params in ({}, {"sunaz": "135"}, {"intensity": "0.7"}):
+        steps = [P.Step("elecolor", {}), P.Step("igor", dict(params))]
+        fused = P.evaluate_steps(steps, ctx)
+        base = kernels.shade_elevation(heights, MAPERITIVE_SCALE)
+        layer = kernels.shade_igor(
+            slope, aspect,
+            sun_azimuth_rad=math.radians(float(params.get("sunaz", -45.0))),
+            intensity=float(params.get("intensity", 1.0)),
+        )
+        unfused = kernels.composite_over(layer, base)
+        assert np.array_equal(fused, unfused), params
+
+    # non-black shading color must NOT take the fused branch
+    steps = [P.Step("elecolor", {}), P.Step("igor", {"shadcol": "#336699"})]
+    fused = P.evaluate_steps(steps, ctx)
+    layer = kernels.shade_igor(
+        slope, aspect, shading_color=(0x33, 0x66, 0x99, 0)
+    )
+    base = kernels.shade_elevation(heights, MAPERITIVE_SCALE)
+    assert np.array_equal(fused, kernels.composite_over(layer, base))
