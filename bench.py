@@ -155,6 +155,10 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
                     trial = time.time() - t0
                     best = trial if best is None or trial < best else best
                 queries[name] = round(best, 3)
+                # queries persist() intermediates (signature barriers);
+                # drop them between queries so 27 queries x 3 trials
+                # don't accumulate cache-eviction pressure
+                spark.catalog.clearCache()
         return hs, queries
     finally:
         spark.stop()
