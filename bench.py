@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "region_rollup",
     "events_top_event",
     "events_sessionize",
+    "events_windowed_counts",
     "doc_exact_dedup",
     "doc_minhash",
     "doc_near_dup_pairs",

@@ -1362,6 +1362,33 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — the SAME operator the
+    streaming path runs (`streaming.windowed_event_counts` works on
+    batch and stream alike); here it is oracle-checked in batch mode
+    against DuckDB's time_bucket."""
+    from .streaming import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev)
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_WINDOWED_COUNTS = """
+select time_bucket(interval '1 hour', cast(ts as timestamp)) as window_start,
+       event_type,
+       cast(count(*) as bigint) as n_events,
+       round(sum(value), 6) as sum_value
+from events
+group by 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1379,6 +1406,7 @@ QUERIES = {
     "region_rollup": q_region_rollup,
     "events_top_event": q_events_top_event,
     "events_sessionize": q_events_sessionize,
+    "events_windowed_counts": q_events_windowed_counts,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_lang_quality": q_doc_lang_quality,
@@ -1409,6 +1437,7 @@ ORACLES = {
     "region_rollup": SQL_REGION_ROLLUP,
     "events_top_event": SQL_EVENTS_TOP_EVENT,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_lang_quality": SQL_DOC_LANG_QUALITY,
