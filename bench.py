@@ -56,6 +56,7 @@ HEADLINE_QUERIES = [
     "events_top_event",
     "events_sessionize",
     "events_windowed_counts",
+    "events_session_windows",
     "doc_exact_dedup",
     "doc_minhash",
     "doc_near_dup_pairs",

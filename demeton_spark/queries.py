@@ -1389,6 +1389,46 @@ group by 1, 2
 """
 
 
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (1-hour gap) per user — the SAME
+    operator the streaming path runs (`streaming.session_counts`);
+    batch mode oracle-checked against DuckDB gaps-and-islands."""
+    from .streaming import session_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_counts(ev)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSION_WINDOWS = """
+with marked as (
+  select cast(user_id as bigint) as user_id, cast(ts as timestamp) as ts,
+         case when ts - lag(ts) over (partition by user_id order by ts)
+                   > interval '1 hour' or
+                   lag(ts) over (partition by user_id order by ts) is null
+              then 1 else 0 end as new_session
+  from events
+),
+ids as (
+  select user_id, ts,
+         sum(new_session) over (partition by user_id order by ts
+                                rows unbounded preceding) as session_id
+  from marked
+)
+select user_id,
+       min(ts) as session_start,
+       max(ts) + interval '1 hour' as session_end,
+       cast(count(*) as bigint) as n_events
+from ids
+group by user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1407,6 +1447,7 @@ QUERIES = {
     "events_top_event": q_events_top_event,
     "events_sessionize": q_events_sessionize,
     "events_windowed_counts": q_events_windowed_counts,
+    "events_session_windows": q_events_session_windows,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_lang_quality": q_doc_lang_quality,
@@ -1438,6 +1479,7 @@ ORACLES = {
     "events_top_event": SQL_EVENTS_TOP_EVENT,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
+    "events_session_windows": SQL_EVENTS_SESSION_WINDOWS,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_lang_quality": SQL_DOC_LANG_QUALITY,
