@@ -57,6 +57,7 @@ HEADLINE_QUERIES = [
     "events_sessionize",
     "events_windowed_counts",
     "events_session_windows",
+    "user_value_stats",
     "doc_exact_dedup",
     "doc_minhash",
     "doc_near_dup_pairs",

@@ -1429,6 +1429,31 @@ group by user_id, session_id
 """
 
 
+def q_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (count, sum, max) over event values — the batch twin of
+    the custom stateful streaming operator (`streaming.
+    running_user_stats` converges to exactly this aggregate; the
+    equivalence is pinned in tests/test_streaming.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+SQL_USER_VALUE_STATS = """
+select cast(user_id as bigint) as user_id,
+       cast(count(*) as bigint) as n_events,
+       round(sum(value), 6) as sum_value,
+       round(max(value), 6) as max_value
+from events
+group by user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1448,6 +1473,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_windowed_counts": q_events_windowed_counts,
     "events_session_windows": q_events_session_windows,
+    "user_value_stats": q_user_value_stats,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_lang_quality": q_doc_lang_quality,
@@ -1480,6 +1506,7 @@ ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_windowed_counts": SQL_EVENTS_WINDOWED_COUNTS,
     "events_session_windows": SQL_EVENTS_SESSION_WINDOWS,
+    "user_value_stats": SQL_USER_VALUE_STATS,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_lang_quality": SQL_DOC_LANG_QUALITY,
