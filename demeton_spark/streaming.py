@@ -273,7 +273,6 @@ def streaming_hillshade(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from . import pipeline as _pipeline_mod  # noqa: F401  (engine deps)
     from .engine import (
         _BLOCK_STRIP_SPEC,
         _decode_block,
