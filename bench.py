@@ -70,6 +70,7 @@ HEADLINE_QUERIES = [
     "doc_ngram_near_dup",
     "knn_bruteforce",
     "knn_ivf_bucketed",
+    "knn_ivf_recall",
     "emb_near_dup_pairs",
     "embedding_label_stats",
 ]

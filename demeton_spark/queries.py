@@ -1454,6 +1454,44 @@ group by user_id
 """
 
 
+def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF-bucketed ANN against the exact brute-force
+    top-k, per probe — the standard ANN quality metric, computed as a
+    join of the two query results (both already oracle-checked)."""
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_knn_ivf_bucketed(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("int").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count("*"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_KNN_IVF_RECALL = f"""
+with exact as ({SQL_KNN_BRUTEFORCE}),
+approx as ({SQL_KNN_IVF_BUCKETED})
+select e.query_id,
+       cast(count(*) as int) as k,
+       cast(sum(case when a.neighbor_id is not null then 1 else 0 end) as int)
+           as hits,
+       round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+             * 1.0 / count(*), 6) as recall
+from exact e
+left join approx a
+  on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
+group by e.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1487,6 +1525,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf_bucketed": q_knn_ivf_bucketed,
+    "knn_ivf_recall": q_knn_ivf_recall,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
 }
@@ -1519,6 +1558,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
+    "knn_ivf_recall": SQL_KNN_IVF_RECALL,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
 }
