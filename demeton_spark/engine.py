@@ -716,12 +716,15 @@ SHADED_SCHEMA = (
 )
 
 
-#: row-band height for chunked shading: bounds the per-task float64
-#: working set (~band·width·8B per temporary ≈ 1.8MB at 1800 wide) so the
+#: row-band height for chunked shading: bounds the per-task float32
+#: working set (~band·width·4B per temporary ≈ 0.9MB at 1800 wide) so the
 #: kernel stays cache-resident and 32 concurrent Python workers don't
 #: fight for memory bandwidth (measured: band=128 doubles 32-way
-#: throughput vs band=256, 10× vs whole-tile)
-SHADE_BAND_ROWS = 128
+#: throughput vs band=256, 10× vs whole-tile).  Env-overridable for
+#: cluster tuning (workers read the executor environment at import).
+import os as _os
+
+SHADE_BAND_ROWS = int(_os.environ.get("DEMETON_SHADE_BAND_ROWS", "128"))
 
 
 def shade_padded_block(
