@@ -274,7 +274,7 @@ round reported) and each throughput cell is the best across rounds.
 The machine advertises 32 vCPUs but shows 10-25% hypervisor steal and
 ~16 effective memory-bandwidth-bound cores, so the 8→32 pair
 under-reports scalability of the plan itself (the best low-steal
-window observed for the same build: local[32] = 12.7 s, 102.3 Mpx/s).
+window observed for the same build: local[32] = 11.1 s, 116.8 Mpx/s).
 The 2→8 pair is the meaningful proxy for the N→4N rule.  Per-task
 memory locality (row-band kernels) plus 1-tile-per-task shuffle
 granularity is what keeps 32-way throughput climbing at all — see
