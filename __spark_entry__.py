@@ -108,6 +108,43 @@ def _q_tile_isolines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_isolines(tiles, ts, [550.0, 650.0])
 
 
+def _q_tile_shade_xth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile-shade lifecycle (§3.2): dem-with-water-bodies ETL packs
+    synthetic heights + a water-class raster into XTH tiles, then the
+    fixed pipeline (solid ∘ lambert ⊕ slope ⊕ igor ∘ water shaders)
+    shades them (rows-only; XTH/shader semantics pinned in
+    tests/test_water.py and tests/test_engine_spark.py)."""
+    import numpy as np
+
+    from demeton_spark.engine import run_tile_shade
+    from demeton_spark.water import build_xth_tiles
+
+    tiles, ts = _synthetic_tiles(spark)
+    # water-class raster at 2x the DEM resolution: class 80 where the
+    # terrain sits below 560m (deterministic lakes)
+    ws = ts * 2
+
+    def classes_of(heights_buf):
+        h = np.frombuffer(heights_buf, dtype="<i2").reshape(ts, ts)
+        up = np.repeat(np.repeat(h, 2, axis=0), 2, axis=1)
+        return bytearray(
+            np.where(up < 560, 80, 10).astype(np.uint8).tobytes()
+        )
+
+    rows = [
+        (r["tile_x"], r["tile_y"], classes_of(r["heights"]))
+        for r in tiles.collect()
+    ]
+    water = spark.createDataFrame(
+        rows, "tile_x int, tile_y int, classes binary"
+    )
+    xth = build_xth_tiles(tiles, water, ts, ws)
+    shaded = run_tile_shade(spark, xth, ts)
+    return shaded.select(
+        "tile_x", "tile_y", "tile_name", "shaded_px", "total_px"
+    )
+
+
 def _q_tile_posterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector posterization (reference roadmap "Vector output"):
     height classes + marching-squares boundary stats per tile
@@ -165,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["water_components"] = _q_water_components
     out["tile_isolines"] = _q_tile_isolines
     out["tile_posterize"] = _q_tile_posterize
+    out["tile_shade_xth"] = _q_tile_shade_xth
     out["shade_raster"] = _q_shade_raster
     return out
 
