@@ -458,3 +458,31 @@ def test_tiled_parity_across_world_shapes(spark, spec):
         assert np.array_equal(rgba, oracle[y0 : y0 + ts, x0 : x0 + ts]), (
             f"tile ({r['tile_x']},{r['tile_y']}) mismatch for {spec}"
         )
+
+
+def test_parse_caption_southern_western_hemispheres(spark):
+    rows = [
+        ("i1", bytearray(b""), 10, 10, "png16",
+         "tile S02W071 block (1,2)", 0),
+        ("i2", bytearray(b""), 10, 10, "png16",
+         "tile N00E000 block (0,0)", 0),
+        ("i3", bytearray(b""), 10, 10, "png16",
+         "tile S46W180 block (2,1)", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = {
+        r["image_id"]: (r["tile_x"], r["tile_y"], r["bx"], r["by"])
+        for r in engine.parse_caption(df).collect()
+    }
+    assert got == {
+        "i1": (-71, -2, 1, 2),
+        "i2": (0, 0, 0, 0),
+        "i3": (-180, -46, 2, 1),
+    }
+    # round-trip through the shared tile-name formatter
+    assert tile_name(0, -71, -2) == "S02W071"
+    assert tile_name(0, -180, -46) == "S46W180"
