@@ -486,3 +486,12 @@ def test_parse_caption_southern_western_hemispheres(spark):
     # round-trip through the shared tile-name formatter
     assert tile_name(0, -71, -2) == "S02W071"
     assert tile_name(0, -180, -46) == "S46W180"
+
+
+def test_empty_input_produces_no_tiles(spark):
+    empty = spark.createDataFrame(
+        [],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    assert engine.run_hillshade(spark, empty, 30).count() == 0
