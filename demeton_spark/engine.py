@@ -168,17 +168,17 @@ HALO_PART_SCHEMA = "tile_x int, tile_y int, part string, data binary"
 PADDED_SCHEMA = "tile_x int, tile_y int, padded binary"
 
 #: strip emitted from a tile → (dest offset, part name at destination,
-#: numpy slice of the sender's block).  Part names say where the data
-#: lands in the receiver's padded array.
+#: k-slab slice of the sender's TILE).  Part names say where the data
+#: lands in the receiver's padded array; k = halo width.
 _STRIP_SPEC = [
-    ((0, 1), "S", lambda t: t[-1:, :]),    # my north edge = north nbr's south pad
-    ((0, -1), "N", lambda t: t[:1, :]),    # my south edge = south nbr's north pad
-    ((1, 0), "W", lambda t: t[:, -1:]),    # my east edge = east nbr's west pad
-    ((-1, 0), "E", lambda t: t[:, :1]),    # my west edge = west nbr's east pad
-    ((1, 1), "SW", lambda t: t[-1:, -1:]),
-    ((-1, 1), "SE", lambda t: t[-1:, :1]),
-    ((1, -1), "NW", lambda t: t[:1, -1:]),
-    ((-1, -1), "NE", lambda t: t[:1, :1]),
+    ((0, 1), "S", lambda t, k: t[-k:, :]),   # my north edge = N nbr's south pad
+    ((0, -1), "N", lambda t, k: t[:k, :]),   # my south edge = S nbr's north pad
+    ((1, 0), "W", lambda t, k: t[:, -k:]),   # my east edge = E nbr's west pad
+    ((-1, 0), "E", lambda t, k: t[:, :k]),   # my west edge = W nbr's east pad
+    ((1, 1), "SW", lambda t, k: t[-k:, -k:]),
+    ((-1, 1), "SE", lambda t, k: t[-k:, :k]),
+    ((1, -1), "NW", lambda t, k: t[:k, -k:]),
+    ((-1, -1), "NE", lambda t, k: t[:k, :k]),
 ]
 
 
@@ -207,7 +207,9 @@ def exchange_halo(tiles: DataFrame, tile_size: int) -> DataFrame:
                     out["tile_x"].append(int(tx) + dx)
                     out["tile_y"].append(int(ty) + dy)
                     out["part"].append(part)
-                    out["data"].append(np.ascontiguousarray(cut(tile)).tobytes())
+                    out["data"].append(
+                        np.ascontiguousarray(cut(tile, 1)).tobytes()
+                    )
             yield pd.DataFrame(out)
 
     parts_df = tiles.mapInPandas(emit_parts, schema=HALO_PART_SCHEMA)
@@ -267,7 +269,8 @@ HALO_PART_LINEAGE_SCHEMA = HALO_PART_SCHEMA + ", n_blocks int"
 
 
 def _emit_center_and_strips(
-    tile: np.ndarray, tile_x: int, tile_y: int, n_blocks: int
+    tile: np.ndarray, tile_x: int, tile_y: int, n_blocks: int,
+    halo: int = 1,
 ) -> pd.DataFrame:
     out: dict[str, list] = {"tile_x": [tile_x], "tile_y": [tile_y],
                             "part": ["C"], "data": [tile.tobytes()],
@@ -276,7 +279,7 @@ def _emit_center_and_strips(
         out["tile_x"].append(tile_x + dx)
         out["tile_y"].append(tile_y + dy)
         out["part"].append(part)
-        out["data"].append(np.ascontiguousarray(cut(tile)).tobytes())
+        out["data"].append(np.ascontiguousarray(cut(tile, halo)).tobytes())
         out["n_blocks"].append(0)
     return pd.DataFrame(out)
 
@@ -310,7 +313,8 @@ def assemble_parts(assigned: DataFrame, tile_size: int) -> DataFrame:
 
 
 def assemble_parts_salted(
-    assigned: DataFrame, tile_size: int, salt_buckets: int
+    assigned: DataFrame, tile_size: int, salt_buckets: int,
+    halo: int = 1,
 ) -> DataFrame:
     """Salted two-phase assembly for skewed tiles (SURVEY.md §7.4 risk 3;
     the north-rule "salted repartitioning handles land/ocean tile skew").
@@ -382,7 +386,8 @@ def assemble_parts_salted(
             tile[written] = part[written]
             n_blocks += int(nb)
         return _emit_center_and_strips(
-            tile, int(pdf["tile_x"].iloc[0]), int(pdf["tile_y"].iloc[0]), n_blocks
+            tile, int(pdf["tile_x"].iloc[0]), int(pdf["tile_y"].iloc[0]),
+            n_blocks, halo,
         )
 
     return partials.groupBy("tile_x", "tile_y").applyInPandas(
@@ -393,12 +398,21 @@ def assemble_parts_salted(
 def shade_parts(
     parts: DataFrame, tile_size: int, script: str,
     clip_poly: np.ndarray | None = None,
+    halo: int = 1,
+    prefilter: str | None = None,
 ) -> DataFrame:
-    """Fused stage B: halo-pad + Horn + shaders + PNG encode in one
-    applyInPandas (one shuffle keyed by destination tile)."""
+    """Fused stage B: halo-pad + optional prefilters + Horn + shaders +
+    PNG encode in one applyInPandas (one shuffle keyed by destination
+    tile).  ``halo`` must be 1 + number of prefilter steps."""
     steps = pipeline.parse_script(script)
     registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
     # registered on the driver ride the closure to executor processes
+    pre_steps = pipeline.parse_script(prefilter) if prefilter else []
+    if halo != 1 + len(pre_steps):
+        raise ValueError(
+            f"halo {halo} must be 1 + number of prefilter steps "
+            f"({len(pre_steps)})"
+        )
 
     def pad_and_shade(pdf: pd.DataFrame) -> pd.DataFrame:
         parts_map = dict(zip(pdf["part"], pdf["data"]))
@@ -416,7 +430,9 @@ def shade_parts(
             if "n_blocks" in pdf.columns
             else 0
         )
-        padded = _pad_from_parts(parts_map, ts)
+        padded = _pad_from_parts(parts_map, ts, halo=halo)
+        if pre_steps:
+            padded = apply_prefilters(padded, pre_steps)
         rgba, shaded = shade_padded_block(
             padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly,
             registry=registry,
@@ -441,28 +457,37 @@ def shade_parts(
 
 
 def _pad_from_parts(
-    parts_map: dict, ts: int, fill: int = DEM_HEIGHT_NONE
+    parts_map: dict, ts: int, fill: int = DEM_HEIGHT_NONE, halo: int = 1
 ) -> np.ndarray:
-    """Assemble the (ts+2)² halo-padded block from center + strip parts.
+    """Assemble the (ts+2k)² halo-padded block from center + k-slab
+    strip parts.
 
     ``fill`` is the missing-neighbor value: DEM_HEIGHT_NONE for plain
     height tiles, 0 for XTH-packed tiles (offset 0 decodes to missing
     and carries no water bit)."""
-    padded = np.full((ts + 2, ts + 2), fill, dtype=np.int16)
-    padded[1:-1, 1:-1] = np.frombuffer(parts_map["C"], dtype="<i2").reshape(ts, ts)
+    k = halo
+    padded = np.full((ts + 2 * k, ts + 2 * k), fill, dtype=np.int16)
+    padded[k:-k, k:-k] = np.frombuffer(
+        parts_map["C"], dtype="<i2"
+    ).reshape(ts, ts)
+    mid = slice(k, ts + k)
+    hi = slice(ts + k, ts + 2 * k)
+    lo = slice(0, k)
     edges = [
-        ("S", (1, ts), lambda p, s: p.__setitem__((0, slice(1, -1)), s[0])),
-        ("N", (1, ts), lambda p, s: p.__setitem__((-1, slice(1, -1)), s[0])),
-        ("W", (ts, 1), lambda p, s: p.__setitem__((slice(1, -1), 0), s[:, 0])),
-        ("E", (ts, 1), lambda p, s: p.__setitem__((slice(1, -1), -1), s[:, 0])),
-        ("SW", (1, 1), lambda p, s: p.__setitem__((0, 0), s[0, 0])),
-        ("SE", (1, 1), lambda p, s: p.__setitem__((0, ts + 1), s[0, 0])),
-        ("NW", (1, 1), lambda p, s: p.__setitem__((ts + 1, 0), s[0, 0])),
-        ("NE", (1, 1), lambda p, s: p.__setitem__((ts + 1, ts + 1), s[0, 0])),
+        ("S", (k, ts), (lo, mid)),
+        ("N", (k, ts), (hi, mid)),
+        ("W", (ts, k), (mid, lo)),
+        ("E", (ts, k), (mid, hi)),
+        ("SW", (k, k), (lo, lo)),
+        ("SE", (k, k), (lo, hi)),
+        ("NW", (k, k), (hi, lo)),
+        ("NE", (k, k), (hi, hi)),
     ]
-    for name, shape, place in edges:
+    for name, shape, (ys, xs) in edges:
         if name in parts_map:
-            place(padded, np.frombuffer(parts_map[name], dtype="<i2").reshape(shape))
+            padded[ys, xs] = np.frombuffer(
+                parts_map[name], dtype="<i2"
+            ).reshape(shape)
     return padded
 
 
@@ -958,15 +983,13 @@ def run_hillshade(
     if clip_polygon is not None:
         clip_poly = np.asarray(clip_polygon, dtype=np.float64)
     halo = 1 + (len(pipeline.parse_script(prefilter)) if prefilter else 0)
-    if prefilter and salt_buckets and salt_buckets > 1:
-        raise NotImplementedError(
-            "prefilter is not wired through the salted topology"
-        )
     assigned = parse_caption(images)
     if salt_buckets and salt_buckets > 1:
         # two-phase salted assembly for pathological per-tile skew keeps
         # the two-stage topology (partial mosaics need their own shuffle)
-        parts = assemble_parts_salted(assigned, tile_size, salt_buckets)
+        parts = assemble_parts_salted(
+            assigned, tile_size, salt_buckets, halo=halo
+        )
         if clip_poly is not None:
             tx0 = int(math.floor(clip_poly[:, 0].min()))
             tx1 = int(math.ceil(clip_poly[:, 0].max())) - 1
@@ -982,7 +1005,10 @@ def run_hillshade(
                 parts = parts.join(
                     F.broadcast(done), on=["tile_x", "tile_y"], how="left_anti"
                 )
-        shaded = shade_parts(parts, tile_size, script, clip_poly=clip_poly)
+        shaded = shade_parts(
+            parts, tile_size, script, clip_poly=clip_poly,
+            halo=halo, prefilter=prefilter,
+        )
     else:
         parts = hillshade_parts(assigned, tile_size, halo)
         if clip_poly is not None:

@@ -495,3 +495,27 @@ def test_empty_input_produces_no_tiles(spark):
         "caption string, phash long",
     )
     assert engine.run_hillshade(spark, empty, 30).count() == 0
+
+
+def test_prefilter_salted_path_matches_fused(spark, images):
+    """blur prefilter (2-px halo) through the salted two-phase topology
+    must be pixel-identical to the fused single-shuffle path."""
+    fused = {
+        (r["tile_x"], r["tile_y"]): (bytes(r["png"]), r["shaded_px"])
+        for r in engine.run_hillshade(
+            spark, images, SPEC.tile_size, script="elecolor|+igor",
+            prefilter="blur",
+        ).collect()
+    }
+    salted = {
+        (r["tile_x"], r["tile_y"]): (bytes(r["png"]), r["shaded_px"])
+        for r in engine.run_hillshade(
+            spark, images, SPEC.tile_size, script="elecolor|+igor",
+            prefilter="blur", salt_buckets=3,
+        ).collect()
+    }
+    assert set(fused) == set(salted)
+    for k in fused:
+        assert codec.decode_rgba_png(fused[k][0]).tobytes() == \
+            codec.decode_rgba_png(salted[k][0]).tobytes()
+        assert fused[k][1] == salted[k][1]
