@@ -141,7 +141,11 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
     spark = build_session(
         app_name=f"bench-local{cpus}",
         master=f"local[{cpus}]",
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+            # block-granular rows: bigger Arrow batches amortize overhead
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+        },
     )
     try:
         images_path = ensure_synth_table(spark, spec, sf)

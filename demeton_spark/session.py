@@ -57,6 +57,12 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # one assembled tile is a large binary cell; keep Arrow batches small
+        # 64 is sized for TILE-granular rows (an assembled 3600² tile is
+        # ~26 MB; 64 rows ≈ 1.7 GB ceiling per Arrow batch).  Jobs whose
+        # UDF inputs are BLOCK-granular (the fused hillshade path: ~KB
+        # rows) should raise this to 512 in extra_conf — measured ~15%
+        # end-to-end (batch overhead amortizes; bench.py and
+        # jobs/hillshade_job.py do).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

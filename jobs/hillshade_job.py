@@ -62,7 +62,12 @@ def main() -> None:
     from demeton_spark.engine import run_hillshade
     from demeton_spark.session import build_session
 
-    spark = build_session(app_name="hillshade-job", master=args.master)
+    spark = build_session(
+        app_name="hillshade-job", master=args.master,
+        # the hillshade pipeline's UDF inputs are block-granular (~KB
+        # rows): larger Arrow batches amortize per-batch overhead
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "512"},
+    )
     t0 = time.time()
     if args.synthetic:
         from demeton_spark.synth import WorldSpec, images_df
