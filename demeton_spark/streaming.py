@@ -251,6 +251,8 @@ def streaming_hillshade(
     tile_size: int,
     world_bounds: tuple[int, int, int, int],
     script: str = "elecolor|+igor",
+    clip_polygon=None,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Streaming twin of the fused batch topology: incremental
     hillshade with cross-batch halo exchange, one stateful operator.
@@ -267,7 +269,11 @@ def streaming_hillshade(
     streaming analogue of the reference's known tile list
     (ShadeCommand.fs:371-400).  Output pixels are byte-identical to the
     batch pipeline (tested); late duplicates after emission drop
-    (idempotent-import semantics, §2.11).
+    (idempotent-import semantics, §2.11).  ``clip_polygon`` and
+    ``prefilter`` behave as in the batch run_hillshade: clipped-out
+    destination tiles are filtered from the parts stream (state never
+    accumulates for them) and prefilters widen the buffered strips to
+    k px.
     """
     import numpy as np
     import pandas as pd
@@ -287,7 +293,26 @@ def streaming_hillshade(
     from .pipeline import SHADER_REGISTRY
 
     registry = dict(SHADER_REGISTRY)  # driver snapshot for executors
-    tx0, ty0, tx1, ty1 = world_bounds
+    pre_steps = parse_script(prefilter) if prefilter else []
+    halo = 1 + len(pre_steps)
+    clip_poly = None
+    if clip_polygon is not None:
+        clip_poly = np.asarray(clip_polygon, dtype=np.float64)
+    wx0, wy0, wx1, wy1 = world_bounds  # sender existence universe
+    tx0, ty0, tx1, ty1 = world_bounds  # destination (kept-tile) universe
+    if clip_poly is not None:
+        import math as _math
+
+        # destinations shrink to the polygon's bbox cover (state never
+        # accumulates for clipped-out tiles) but SENDERS keep the full
+        # world bounds: a tile just outside the clip cover still donates
+        # halo strips to kept boundary tiles, exactly like the batch
+        # path's destination-only filter — completeness must wait for
+        # those strips or boundary pixels would shade nondeterministically
+        tx0 = max(tx0, int(_math.floor(clip_poly[:, 0].min())))
+        tx1 = min(tx1, int(_math.ceil(clip_poly[:, 0].max())) - 1)
+        ty0 = max(ty0, int(_math.floor(clip_poly[:, 1].min())))
+        ty1 = min(ty1, int(_math.ceil(clip_poly[:, 1].max())) - 1)
 
     def emit_parts(batches):
         cols = ("tile_x", "tile_y", "part", "bx", "by", "image_id",
@@ -309,8 +334,9 @@ def streaming_hillshade(
 
             for r in pdf.itertuples():
                 w, h, bx, by = int(r.w), int(r.h), int(r.bx), int(r.by)
-                push(int(r.tile_x), int(r.tile_y), "B", bx, by,
-                     str(r.image_id), w, h, str(r.fmt), bytes(r.bytes))
+                if tx0 <= int(r.tile_x) <= tx1 and ty0 <= int(r.tile_y) <= ty1:
+                    push(int(r.tile_x), int(r.tile_y), "B", bx, by,
+                         str(r.image_id), w, h, str(r.fmt), bytes(r.bytes))
                 nx, ny = tile_size // w, tile_size // h
                 block = None
                 for on_edge, (dx, dy), part, cut in _BLOCK_STRIP_SPEC:
@@ -318,11 +344,12 @@ def streaming_hillshade(
                         continue
                     dtx, dty = int(r.tile_x) + dx, int(r.tile_y) + dy
                     if not (tx0 <= dtx <= tx1 and ty0 <= dty <= ty1):
-                        continue  # strips past the world edge
+                        continue  # strips past the world/clip edge
                     if block is None:
                         block = _decode_block(str(r.fmt), bytes(r.bytes), w)
                     push(dtx, dty, part, bx, by, str(r.image_id), w, h,
-                         "raw", np.ascontiguousarray(cut(block, 1)).tobytes())
+                         "raw",
+                         np.ascontiguousarray(cut(block, halo)).tobytes())
             yield pd.DataFrame(out)
 
     from .engine import parse_caption
@@ -338,9 +365,10 @@ def streaming_hillshade(
         given which neighbors exist inside world_bounds."""
         exp = set()
         for on_edge, (dx, dy), part, _cut in _BLOCK_STRIP_SPEC:
-            # sender is the neighbor at (tx-dx, ty-dy)
+            # sender is the neighbor at (tx-dx, ty-dy); existence is
+            # judged against the WORLD bounds, not the clip cover
             sx, sy = tx - dx, ty - dy
-            if not (tx0 <= sx <= tx1 and ty0 <= sy <= ty1):
+            if not (wx0 <= sx <= wx1 and wy0 <= sy <= wy1):
                 continue
             for by in range(ny):
                 for bx in range(nx):
@@ -382,7 +410,9 @@ def streaming_hillshade(
                 or not expected_strips(tx, ty, nx, ny) <= have_strips):
             state.update((False, parts_l, bxs, bys, ids, fmts, ws, hs, blobs))
             return
-        padded = np.full((ts + 2, ts + 2), DEM_HEIGHT_NONE, dtype=np.int16)
+        k = halo
+        padded = np.full((ts + 2 * k, ts + 2 * k), DEM_HEIGHT_NONE,
+                         dtype=np.int16)
         order = sorted(range(len(parts_l)),
                        key=lambda i: (bys[i], bxs[i], ids[i]))
         n_blocks = 0
@@ -390,7 +420,7 @@ def streaming_hillshade(
             if parts_l[i] != "B":
                 continue
             block = _decode_block(fmts[i], blobs[i], ws[i])
-            y0, x0 = 1 + bys[i] * hs[i], 1 + bxs[i] * ws[i]
+            y0, x0 = k + bys[i] * hs[i], k + bxs[i] * ws[i]
             padded[y0 : y0 + hs[i], x0 : x0 + ws[i]] = block
             n_blocks += 1
         for i in order:
@@ -398,10 +428,15 @@ def streaming_hillshade(
                 continue
             cells = np.frombuffer(blobs[i], dtype="<i2")
             _place_strip(padded, parts_l[i], cells, bxs[i], bys[i],
-                         ws[i], hs[i], ts, 1)
+                         ws[i], hs[i], ts, k)
+        if pre_steps:
+            from .engine import apply_prefilters
+
+            padded = apply_prefilters(padded, pre_steps)
         from . import codec
 
         rgba, shaded = shade_padded_block(padded, tx, ty, ts, steps,
+                                          clip_poly=clip_poly,
                                           registry=registry)
         state.update((True, [], [], [], [], [], [], [], []))
         yield pd.DataFrame(

@@ -227,3 +227,65 @@ def test_streaming_hillshade_matches_batch(spark, tmp_path):
             codec.decode_rgba_png(bytes(batch[k]["png"])).tobytes()
         assert got[k]["shaded_px"] == batch[k]["shaded_px"]
         assert got[k]["n_blocks"] == batch[k]["n_blocks"]
+
+
+def test_streaming_hillshade_clip_and_prefilter_match_batch(spark, tmp_path):
+    """Streaming hillshade with a clip polygon AND a blur prefilter
+    (2-px buffered halo) must match the batch pipeline byte-for-byte,
+    including the pruned tile set."""
+    from demeton_spark import codec, engine, synth
+    from demeton_spark.synth import WorldSpec
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=30,
+        block_size=10,
+    )
+    images = synth.images_df(spark, spec)
+    pdf = images.toPandas()
+    import re as _re
+
+    def parity(caption):
+        m = _re.search(r"block \((\d+),(\d+)\)", caption)
+        return (int(m.group(1)) + int(m.group(2))) % 2
+
+    mask = pdf["caption"].map(parity) == 0
+    src = str(tmp_path / "img_stream3")
+    schema = streaming.IMAGES_SCHEMA
+    spark.createDataFrame(pdf[mask], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(pdf[~mask], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    # max lon 13.98: the east tiles prune (ceil-1 = 13) but the kept
+    # tiles' last pixel column (lon 13.9667) is INSIDE the polygon, so
+    # its Horn window needs halo strips donated by the clipped-out
+    # (14, y) tiles — completeness must wait for them (sender universe
+    # is the world bounds, not the clip cover)
+    poly = [(13.1, 45.2), (13.98, 45.4), (13.3, 46.7)]
+    bounds = (13, 45, 14, 46)
+    stream_in = streaming.read_images_stream(spark, src, max_files_per_trigger=1)
+    got = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in streaming.run_to_memory(
+            streaming.streaming_hillshade(
+                stream_in, spec.tile_size, bounds,
+                clip_polygon=poly, prefilter="blur",
+            ),
+            "stream_shaded_clip",
+            str(tmp_path / "ckpt_shade_clip"),
+            output_mode="append",
+        ).collect()
+    }
+    batch = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in engine.run_hillshade(
+            spark, images, spec.tile_size, script="elecolor|+igor",
+            clip_polygon=poly, prefilter="blur",
+        ).collect()
+    }
+    # bbox cover prunes the east tiles in both modes
+    assert set(got) == set(batch) == {(13, 45), (13, 46)}
+    for k in got:
+        assert codec.decode_rgba_png(bytes(got[k]["png"])).tobytes() == \
+            codec.decode_rgba_png(bytes(batch[k]["png"])).tobytes()
+        assert got[k]["shaded_px"] == batch[k]["shaded_px"]
