@@ -19,9 +19,9 @@ Operator coverage map (SURVEY.md §2):
   hash agg / joins                 → pricing_summary, region_rollup
   SQL windows (engine extras)      → events_top_event, events_sessionize
   dedup family                     → doc_exact_dedup, doc_minhash,
-                                     doc_near_dup_pairs, doc_dedup_clusters,
-                                     doc_simhash, doc_ngram_near_dup,
-                                     emb_near_dup_pairs
+                                     doc_near_dup_pairs, doc_near_dup_recall,
+                                     doc_dedup_clusters, doc_simhash,
+                                     doc_ngram_near_dup, emb_near_dup_pairs
   text analysis                    → doc_token_stats, doc_lang_quality,
                                      doc_fingerprint
   similarity search                → knn_bruteforce, knn_ivf_bucketed,
@@ -659,76 +659,167 @@ from w
 """
 
 
-def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature + hashed word-set.
+# --- multi-band MinHash LSH --------------------------------------------------
+#
+# b×r banding (8 bands × 2 rows = 16 permutations): a candidate pair only
+# needs the two minhashes of ONE band to agree, so candidate probability is
+# 1-(1-s²)^8 — ≥0.995 at Jaccard 0.7, ≈0.90 at 0.5 — versus s⁴ for the
+# round-1 single-band scheme (0.24 at s=0.7).  Permutations are affine maps
+# (a_k·h+b_k) mod P over ONE md5 base hash per word: codegen-friendly
+# integer arithmetic instead of k salted md5 passes, identical on the
+# DuckDB oracle side.  P = 2^31-1 keeps (h mod P)·a_k + b_k < 2^62 (no
+# int64 overflow in either engine).
 
-    The word set is hashed once to a sorted distinct int array (``hwords``)
-    so the LSH self-join carries cheap int arrays instead of strings and
-    the exact-Jaccard verification intersects ints.  ``mh0`` is the min of
-    ``hwords`` (salt 0); higher salts rehash the string words.
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MH_BANDS = 8
+_MH_ROWS = 2
+_MINHASH_PERMS = _MH_BANDS * _MH_ROWS
+
+
+def _mh_params() -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) affine-permutation constants via a fixed
+    LCG walk (no runtime randomness; embedded verbatim in the SQL twins)."""
+    out, x = [], 0x5DEECE66D
+    for _ in range(_MINHASH_PERMS):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = x % (_MH_P - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MH_P
+        out.append((a, b))
+    return out
+
+
+_MH_AB = _mh_params()
+
+
+def _minhash_signatures(exploded: DataFrame, set_name: str) -> DataFrame:
+    """(doc_id, h) rows → per-doc sorted hashed set + 16 affine minhashes.
+
+    explode → codegen projection → hash-aggregate: the one md5 per
+    element runs inside whole-stage codegen; the 16 permutations are
+    min-aggregates over cheap integer maps.
     """
-    # explode → codegen projection → groupBy: higher-order lambdas
-    # (transform/array_min) evaluate interpreted, outside whole-stage
-    # codegen, and re-hash per expression occurrence; exploding the
-    # distinct word set lets the 5 md5-based hashes run once per word
-    # row inside codegen, with a hash-aggregate computing the mins and
-    # the sorted hword set (same shape that makes doc_simhash fast).
-    # Hash semantics identical — oracles unchanged.
+    hashed = exploded.withColumn("hp", F.col("h") % F.lit(_MH_P))
+    return hashed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h")).alias(set_name),
+        *[
+            F.min((F.col("hp") * F.lit(a) + F.lit(b)) % F.lit(_MH_P)).alias(
+                f"mh{k}"
+            )
+            for k, (a, b) in enumerate(_MH_AB)
+        ],
+    )
+
+
+def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc multi-band MinHash signature + hashed word-set.
+
+    The word set is hashed once to a sorted distinct int array
+    (``hwords``) so exact-Jaccard verification intersects ints, never
+    strings."""
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     exploded = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.explode(F.array_distinct(_words())).alias("word"),
+    ).select("doc_id", _word_hash(F.col("word"), 0).alias("h"))
+    return _minhash_signatures(exploded, "hwords")
+
+
+def _lsh_band_rows(sig: DataFrame) -> DataFrame:
+    """Explode a signature into (doc_id, band, k1, k2) band-key rows."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.col(f"mh{_MH_ROWS * i}").alias("k1"),
+                F.col(f"mh{_MH_ROWS * i + 1}").alias("k2"),
+            )
+            for i in range(_MH_BANDS)
+        ]
     )
-    hashed = exploded.select(
-        "doc_id",
-        *[_word_hash(F.col("word"), k).alias(f"h{k}")
-          for k in range(_MINHASH_K)],
-    )
-    return hashed.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("h0")).alias("hwords"),
-        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_MINHASH_K)],
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band", "b.k1", "b.k2"
     )
 
 
-def q_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by exact Jaccard on hashed
-    word sets.
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band-bucket equi-join → distinct candidate pairs.
 
-    Band = the full 4-hash signature (docs drawn from a narrow synthetic
-    vocabulary collide often; the Jaccard filter keeps real near-dups).
-    The hashed word-set arrays ride through the band self-join so the
-    verification needs no second join against the documents table; for
-    duplicate-heavy corpora where even the verified output is quadratic,
-    the linear-output form of this operator is ``doc_dedup_clusters``.
-    """
-    # persist: the minhash keys are higher-order-function expressions
-    # (interpreted, not codegen); without a materialization barrier
-    # Catalyst clones them into pushed not-null filters and both join
-    # sides, re-hashing every word ~9x (measured 53s -> 3s at sf0.1)
-    sig = _doc_signatures(spark, sf_dir).persist()
-    band_cols = [f"mh{k}" for k in range(_MINHASH_K)]
-    pairs = (
-        sig.alias("a")
-        .join(sig.alias("b"), on=band_cols, how="inner")
+    Only (doc_id, band-key) rows cross the band shuffle — the hashed
+    word sets do NOT ride the 8-way band explosion (at scale that would
+    octuple shuffle volume); verification fetches them by two equi-joins
+    in ``_verified_pairs``."""
+    bands = _lsh_band_rows(sig)
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "k1", "k2"], how="inner")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect(F.col("a.hwords"), F.col("b.hwords"))).alias("i"),
-            F.size(F.col("a.hwords")).alias("na"),
-            F.size(F.col("b.hwords")).alias("nb"),
         )
-    )
-    jaccard = F.round(
-        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
-    )
-    return (
-        pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.5)
+        .distinct()
     )
 
+
+def _verified_pairs(sig: DataFrame, set_col: str) -> DataFrame:
+    """Candidates + exact overlap stats (i, na, nb) from the hashed sets."""
+    cand = _lsh_candidates(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col(set_col).alias("wa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col(set_col).alias("wb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).alias("i"),
+            F.size("wa").alias("na"),
+            F.size("wb").alias("nb"),
+        )
+    )
+
+
+def q_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band MinHash-LSH near-dup pairs verified by exact Jaccard.
+
+    Pipeline: signature (16 affine minhashes over md5 word hashes) →
+    8-band bucket equi-join → distinct candidates → exact-Jaccard verify
+    via two signature joins.  The ≥0.5 threshold is the exact integer
+    test ``2·i ≥ |union|`` (no float boundary ambiguity vs the oracle).
+    Candidate recall at the threshold is 1-(1-s²)^8 ≈ 0.90, ≥0.995 at
+    s=0.7 — measured per-bucket by ``doc_near_dup_recall``.  For
+    duplicate-heavy corpora where even the verified output is quadratic,
+    the linear-output form of this operator is ``doc_dedup_clusters``.
+    """
+    # persist: sig feeds both band-explosion sides and both verify joins;
+    # without the barrier Catalyst re-runs the explode+agg per consumer
+    sig = _doc_signatures(spark, sf_dir).persist()
+    pairs = _verified_pairs(sig, "hwords")
+    u = F.col("na") + F.col("nb") - F.col("i")
+    return pairs.where(F.lit(2) * F.col("i") >= u).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("i").cast("double") / u, 6).alias("jaccard"),
+    )
+
+
+def _sql_minhash_exprs(hs_expr: str) -> str:
+    """DuckDB twins of the 16 affine minhash aggregates."""
+    return ",\n  ".join(
+        f"list_aggregate(list_transform({hs_expr}, "
+        f"h -> ((h % {_MH_P}) * {a} + {b}) % {_MH_P}), 'min') as mh{k}"
+        for k, (a, b) in enumerate(_MH_AB)
+    )
+
+
+_SQL_BANDS = "\n  union all ".join(
+    f"select doc_id, {i} as band, mh{_MH_ROWS * i} as k1, "
+    f"mh{_MH_ROWS * i + 1} as k2 from sig"
+    for i in range(_MH_BANDS)
+)
 
 _SQL_DOC_SIGNATURES = f"""
 w as (
@@ -736,30 +827,131 @@ w as (
          list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) as words
   from documents
 ),
+hw as (
+  select doc_id, list_transform(words, x -> {_sql_word_hash('x', 0)}) as hs
+  from w
+),
 sig as (
   select doc_id,
-  list_sort(list_distinct(list_transform(words, x -> {_sql_word_hash('x', 0)}))) as hwords,
-  {", ".join(
-    f"list_aggregate(list_transform(words, x -> {_sql_word_hash('x', k)}), 'min') as mh{k}"
-    for k in range(_MINHASH_K)
-  )}
-  from w
+  list_sort(list_distinct(hs)) as hwords,
+  {_sql_minhash_exprs('hs')}
+  from hw
+),
+bands as (
+  {_SQL_BANDS}
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b using (band, k1, k2)
+  where a.doc_id < b.doc_id
+),
+verified as (
+  select c.doc_a, c.doc_b,
+         len(list_intersect(sa.hwords, sb.hwords)) as i,
+         len(sa.hwords) as na, len(sb.hwords) as nb
+  from cand c
+  join sig sa on sa.doc_id = c.doc_a
+  join sig sb on sb.doc_id = c.doc_b
 )"""
 
 SQL_DOC_NEAR_DUP_PAIRS = f"""
-with {_SQL_DOC_SIGNATURES},
-pairs as (
-  select a.doc_id as doc_a, b.doc_id as doc_b, a.hwords as wa, b.hwords as wb
-  from sig a join sig b
-    on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.mh2 = b.mh2 and a.mh3 = b.mh3
-  where a.doc_id < b.doc_id
-)
+with {_SQL_DOC_SIGNATURES}
 select doc_a, doc_b,
-  round(cast(len(list_intersect(wa, wb)) as double)
-        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) as jaccard
-from pairs
-where round(cast(len(list_intersect(wa, wb)) as double)
-        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) >= 0.5
+       round(cast(i as double) / (na + nb - i), 6) as jaccard
+from verified
+where 2 * i >= na + nb - i
+"""
+
+_RECALL_SLICE = 200  # bounded all-pairs slice: 200 docs → ≤19900 exact pairs
+
+
+def q_doc_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation recall of the b×r MinHash LSH versus exact
+    all-pairs Jaccard, per similarity bucket, on a bounded doc_id slice.
+
+    The quality gate for ``doc_near_dup_pairs``: exact pairs come from a
+    brute-force cross join over ``doc_id < 200`` (bounded, so the
+    all-pairs cost stays O(slice²) regardless of corpus size — the same
+    shape as ``knn_ivf_recall``); LSH candidates from the identical band
+    join the production query uses.  Buckets use exact integer
+    cross-multiplication (10·i vs 7·u etc.) so Spark and the oracle can
+    never disagree on a float boundary.  Expected recall: ≈0.90 in
+    [0.5,0.7), ≥0.995 above 0.7.
+    """
+    sig = (
+        _doc_signatures(spark, sf_dir)
+        .where(F.col("doc_id") < _RECALL_SLICE)
+        .persist()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hwords").alias("wa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hwords").alias("wb"))
+    exact = (
+        sa.crossJoin(sb)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("wa", "wb")).alias("i"),
+            (F.size("wa") + F.size("wb")
+             - F.size(F.array_intersect("wa", "wb"))).alias("u"),
+        )
+        .where(F.lit(2) * F.col("i") >= F.col("u"))
+    )
+    cand = _lsh_candidates(sig).withColumn("hit", F.lit(1))
+    bucket = (
+        F.when(F.lit(10) * F.col("i") >= F.lit(9) * F.col("u"), F.lit("j>=0.9"))
+        .when(
+            F.lit(10) * F.col("i") >= F.lit(7) * F.col("u"),
+            F.lit("0.7<=j<0.9"),
+        )
+        .otherwise(F.lit("0.5<=j<0.7"))
+    )
+    return (
+        exact.join(cand, on=["doc_a", "doc_b"], how="left")
+        .select(
+            bucket.alias("jaccard_bucket"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        .groupBy("jaccard_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum("hit").cast("bigint").alias("n_candidates"),
+            F.round(F.sum("hit") / F.count("*"), 6).alias("recall"),
+        )
+    )
+
+
+SQL_DOC_NEAR_DUP_RECALL = f"""
+with {_SQL_DOC_SIGNATURES},
+s as (
+  select * from sig where doc_id < {_RECALL_SLICE}
+),
+exact as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         len(list_intersect(a.hwords, b.hwords)) as i,
+         len(a.hwords) + len(b.hwords)
+           - len(list_intersect(a.hwords, b.hwords)) as u
+  from s a cross join s b
+  where a.doc_id < b.doc_id
+    and 2 * len(list_intersect(a.hwords, b.hwords))
+        >= len(a.hwords) + len(b.hwords)
+           - len(list_intersect(a.hwords, b.hwords))
+),
+hits as (
+  select e.i, e.u,
+         case when c.doc_a is not null then 1 else 0 end as hit
+  from exact e
+  left join cand c on c.doc_a = e.doc_a and c.doc_b = e.doc_b
+)
+select
+  case when 10 * i >= 9 * u then 'j>=0.9'
+       when 10 * i >= 7 * u then '0.7<=j<0.9'
+       else '0.5<=j<0.7' end as jaccard_bucket,
+  cast(count(*) as bigint) as n_exact,
+  cast(sum(hit) as bigint) as n_candidates,
+  round(cast(sum(hit) as double) / count(*), 6) as recall
+from hits
+group by 1
 """
 
 
@@ -790,13 +982,7 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_DEDUP_CLUSTERS = f"""
 with recursive {_SQL_DOC_SIGNATURES},
 pairs as (
-  select a.doc_id as doc_a, b.doc_id as doc_b
-  from sig a join sig b
-    on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.mh2 = b.mh2 and a.mh3 = b.mh3
-  where a.doc_id < b.doc_id
-    and round(cast(len(list_intersect(a.hwords, b.hwords)) as double)
-        / (len(a.hwords) + len(b.hwords)
-           - len(list_intersect(a.hwords, b.hwords))), 6) >= 0.5
+  select doc_a, doc_b from verified where 2 * i >= na + nb - i
 ),
 edges as (
   select doc_a as a, doc_b as b from pairs
@@ -879,40 +1065,17 @@ def q_doc_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), _words().alias("ws"))
         .select(F.col("doc_id"), shingles.alias("sh"))
     )
-    # explode → codegen hash projection → hash-aggregate (same shape as
-    # _doc_signatures: one md5 pass per distinct shingle, no interpreted
-    # per-element lambdas); hash semantics identical, oracle unchanged
     exploded = base.select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("s")
-    )
-    hashed = exploded.select(
-        "doc_id",
-        *[_word_hash(F.col("s"), k).alias(f"h{k}")
-          for k in range(_MINHASH_K)],
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("h0")).alias("hsh"),
-        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_MINHASH_K)],
-    ).persist()  # same barrier as doc_near_dup_pairs
-    band_cols = [f"mh{k}" for k in range(_MINHASH_K)]
-    pairs = (
-        sig.alias("a")
-        .join(sig.alias("b"), on=band_cols, how="inner")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect(F.col("a.hsh"), F.col("b.hsh"))).alias("i"),
-            F.size(F.col("a.hsh")).alias("na"),
-            F.size(F.col("b.hsh")).alias("nb"),
-        )
-    )
-    jaccard = F.round(
-        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
-    )
-    return (
-        pairs.select("doc_a", "doc_b", jaccard.alias("ngram_jaccard"))
-        .where(F.col("ngram_jaccard") >= 0.5)
+    ).select("doc_id", _word_hash(F.col("s"), 0).alias("h"))
+    # same multi-band machinery as doc_near_dup_pairs, over shingle hashes
+    sig = _minhash_signatures(exploded, "hsh").persist()
+    pairs = _verified_pairs(sig, "hsh")
+    u = F.col("na") + F.col("nb") - F.col("i")
+    return pairs.where(F.lit(2) * F.col("i") >= u).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("i").cast("double") / u, 6).alias("ngram_jaccard"),
     )
 
 
@@ -929,27 +1092,37 @@ sh as (
                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) end as sh
   from w
 ),
-sig as (
+hw as (
   select doc_id,
-    list_sort(list_distinct(list_transform(sh, x -> {_sql_word_hash('x', 0)}))) as hsh,
-  {", ".join(
-    f"list_aggregate(list_transform(list_distinct(sh), x -> {_sql_word_hash('x', k)}), 'min') as mh{k}"
-    for k in range(_MINHASH_K)
-  )}
+         list_transform(list_distinct(sh), x -> {_sql_word_hash('x', 0)}) as hs
   from sh
 ),
-pairs as (
-  select a.doc_id as doc_a, b.doc_id as doc_b, a.hsh as wa, b.hsh as wb
-  from sig a join sig b
-    on a.mh0 = b.mh0 and a.mh1 = b.mh1 and a.mh2 = b.mh2 and a.mh3 = b.mh3
+sig as (
+  select doc_id,
+  list_sort(list_distinct(hs)) as hsh,
+  {_sql_minhash_exprs('hs')}
+  from hw
+),
+bands as (
+  {_SQL_BANDS}
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b using (band, k1, k2)
   where a.doc_id < b.doc_id
+),
+verified as (
+  select c.doc_a, c.doc_b,
+         len(list_intersect(sa.hsh, sb.hsh)) as i,
+         len(sa.hsh) as na, len(sb.hsh) as nb
+  from cand c
+  join sig sa on sa.doc_id = c.doc_a
+  join sig sb on sb.doc_id = c.doc_b
 )
 select doc_a, doc_b,
-  round(cast(len(list_intersect(wa, wb)) as double)
-        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) as ngram_jaccard
-from pairs
-where round(cast(len(list_intersect(wa, wb)) as double)
-        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) >= 0.5
+       round(cast(i as double) / (na + nb - i), 6) as ngram_jaccard
+from verified
+where 2 * i >= na + nb - i
 """
 
 
@@ -1517,6 +1690,7 @@ QUERIES = {
     "doc_lang_quality": q_doc_lang_quality,
     "doc_minhash": q_doc_minhash,
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
+    "doc_near_dup_recall": q_doc_near_dup_recall,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
@@ -1551,6 +1725,7 @@ ORACLES = {
     "doc_lang_quality": SQL_DOC_LANG_QUALITY,
     "doc_minhash": SQL_DOC_MINHASH,
     "doc_near_dup_pairs": SQL_DOC_NEAR_DUP_PAIRS,
+    "doc_near_dup_recall": SQL_DOC_NEAR_DUP_RECALL,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_simhash_near_dup": SQL_DOC_SIMHASH_NEAR_DUP,

@@ -53,6 +53,23 @@ def test_tutorial_shade_run(spark):
     assert r["n_dem_tiles"] == 2  # N46E013 + N46E014, like the tutorial log
 
 
+def test_lsh_recall_gate(spark):
+    """Multi-band MinHash LSH must find ≥0.9 of exact-Jaccard pairs at
+    j≥0.7 (the round-2 dedup quality gate; b=8 × r=2 predicts 1-(1-s²)^8
+    ≥ 0.995 there) and a perfect 1.0 at j≥0.9 on the test corpus."""
+    from demeton_spark.queries import q_doc_near_dup_recall
+
+    rows = {
+        r["jaccard_bucket"]: r
+        for r in q_doc_near_dup_recall(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows["0.7<=j<0.9"]["recall"] >= 0.9
+    assert rows["j>=0.9"]["recall"] == 1.0
+    # the sub-threshold band is informational but should beat the
+    # theoretical 1-(1-0.25)^8 = 0.9 floor at its top edge; allow slack
+    assert rows["0.5<=j<0.7"]["recall"] >= 0.8
+
+
 def test_plan_shapes(spark):
     """Catalyst must push the shipdate filter into the parquet scan and
     broadcast the tile-metadata dimension (SURVEY.md §4 checkpoints)."""
