@@ -1507,6 +1507,143 @@ where a.doc_id < b.doc_id
 """
 
 
+def _hamming_band_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Pigeonhole-complete Hamming near-dup pairs over an integer hash.
+
+    Explodes ``n_bands`` band keys of ``band_bits`` each, bucket
+    equi-joins on (band, key), verifies with XOR-popcount.  COMPLETE
+    (not approximate) whenever ``max_hamming < n_bands``: a pair
+    differing in h bits contaminates at most h bands, leaving a clean
+    shared band.  The join is a plain shuffle equi-join on small int
+    keys — sub-quadratic at 10^12 rows as long as band buckets stay
+    bounded (widen the hash or band_bits if they don't).
+    """
+    assert max_hamming < n_bands
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(hash_col), band_bits * b)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col(hash_col), F.explode(band_keys).alias("b")
+    ).select(id_col, hash_col, "b.band", "b.bk")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bk"], how="inner")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+
+    The production operator over the Iceberg images table
+    (BASELINE.json input_hint: ``phash:int64``): 16 bands × 4 bits
+    cover the full signed int64, so any pair within ``max_hamming``
+    (< 16) is guaranteed a clean shared band.  Arithmetic shiftright +
+    mask extracts identical band keys for negative hashes in Spark and
+    DuckDB alike.  Returns (image_id_a, image_id_b, hamming).
+    """
+    sig = images.select("image_id", "phash")
+    out = _hamming_band_pairs(sig, "image_id", "phash", 16, 4, max_hamming)
+    return out.select(
+        F.col("image_id_a"), F.col("image_id_b"), F.col("hamming")
+    )
+
+
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded phash near-dup pairs, DuckDB-oracle-checked.
+
+    The oracle gate only registers the parquet tables, so this contract
+    twin of ``phash_near_dup_pairs`` derives a deterministic 60-bit
+    phash from ``documents``: docs share a 60-bit md5 group hash per
+    ``doc_id % 50`` cohort, with 0/1/2 planted bit flips by
+    ``doc_id % 3`` — exactly the near-dup structure a perceptual hash
+    exhibits.  15 bands × 4 bits: complete at hamming ≤ 2 by
+    pigeonhole.  The operator itself (banding + XOR-popcount verify) is
+    shared code with the images-table version.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pg#"), (F.col("doc_id") % 50).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    mask = F.expr(
+        "case when doc_id % 3 = 1 "
+        "then shiftleft(cast(1 as bigint), cast(doc_id % 60 as int)) "
+        "when doc_id % 3 = 2 "
+        "then shiftleft(cast(1 as bigint), cast(doc_id % 60 as int)) | "
+        "shiftleft(cast(1 as bigint), cast((doc_id * 7 + 13) % 60 as int)) "
+        "else cast(0 as bigint) end"
+    )
+    sig = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        base.bitwiseXOR(mask).alias("phash"),
+    )
+    out = _hamming_band_pairs(sig, "doc_id", "phash", 15, 4, 2)
+    return out.select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+SQL_IMAGE_PHASH_NEAR_DUP = """
+with sig as (
+  select cast(doc_id as bigint) as doc_id,
+    xor(
+      cast(('0x' || substr(md5('pg#' || cast(doc_id % 50 as varchar)), 1, 15))
+           as bigint),
+      case when doc_id % 3 = 1
+           then (cast(1 as bigint) << cast(doc_id % 60 as int))
+           when doc_id % 3 = 2
+           then (cast(1 as bigint) << cast(doc_id % 60 as int))
+              | (cast(1 as bigint) << cast((doc_id * 7 + 13) % 60 as int))
+           else cast(0 as bigint) end
+    ) as phash
+  from documents
+),
+banded as (
+  select doc_id, phash, t.b as band,
+         cast((phash >> (4 * t.b)) & 15 as int) as bk
+  from sig cross join (select unnest(generate_series(0, 14)) as b) t
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+from banded a join banded b using (band, bk)
+where a.doc_id < b.doc_id and bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact image dedup on the input-hint ``phash`` column (rows-only).
 
@@ -1696,6 +1833,7 @@ QUERIES = {
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
     "doc_ngram_near_dup": q_doc_ngram_near_dup,
     "image_phash_dedup": q_image_phash_dedup,
+    "image_phash_near_dup": q_image_phash_near_dup,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf_bucketed": q_knn_ivf_bucketed,
@@ -1731,6 +1869,7 @@ ORACLES = {
     "doc_simhash_near_dup": SQL_DOC_SIMHASH_NEAR_DUP,
     "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
     "knn_ivf_recall": SQL_KNN_IVF_RECALL,

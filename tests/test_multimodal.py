@@ -112,3 +112,34 @@ def test_decode_tiff_format(spark):
     out = multimodal.decode_images(df).collect()
     got = np.frombuffer(out[0]["pixels"], dtype=np.int16).reshape(4, 4)
     assert np.array_equal(got, arr)
+
+
+def test_phash_near_dup_matches_bruteforce(spark):
+    """phash_near_dup_pairs (16x4-bit Hamming banding over signed int64)
+    must equal the brute-force all-pairs oracle, including negative
+    hashes and planted 1/2-bit flips."""
+    import itertools
+
+    from demeton_spark.queries import phash_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2**62), 2**62, size=6, dtype=np.int64)
+    rows = []
+    for g, b in enumerate(base):
+        rows.append((f"g{g}_orig", int(b)))
+        rows.append((f"g{g}_flip1", int(b ^ np.int64(1 << int(rng.integers(0, 63))))))
+        p1, p2 = rng.choice(63, size=2, replace=False)
+        rows.append((f"g{g}_flip2", int(b ^ np.int64(1 << int(p1)) ^ np.int64(1 << int(p2)))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["image_id_a"], r["image_id_b"], r["hamming"])
+        for r in phash_near_dup_pairs(df, max_hamming=2).collect()
+    }
+    expect = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 2:
+            a, b = sorted((ia, ib))
+            expect.add((a, b, d))
+    assert got == expect
+    assert len(expect) >= 6  # every group's orig<->flip1 pair at least
