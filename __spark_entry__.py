@@ -43,7 +43,10 @@ def _q_hillshade_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pyramid_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Level-0 → level-1 pyramid build (J7 join + A1 kernel), rows-only."""
+    """Level-0 → level-1 pyramid build (J7 join + A1 kernel), checked
+    against a DuckDB oracle that regenerates the synthetic world from
+    generate_series and reproduces the NaN-masked half-to-even 2×2 mean
+    with exact integer arithmetic (queries.SQL_PYRAMID_DOWNSAMPLE)."""
     from demeton_spark.engine import assemble_tiles, parse_caption
     from demeton_spark.pyramid import build_pyramid_level
     from demeton_spark.synth import WorldSpec, images_df
@@ -60,8 +63,9 @@ def _q_pyramid_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_water_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tile water-body connected components over a deterministic
-    synthetic 2x2-tile world (rows-only; tiled==untiled parity is pinned
-    in tests/test_water.py against the numpy flood-fill oracle)."""
+    synthetic 2x2-tile world, checked against a DuckDB recursive-CTE
+    flood fill (queries.SQL_WATER_COMPONENTS); tiled==untiled parity is
+    additionally pinned in tests/test_water.py."""
     from demeton_spark.water import global_water_components
 
     tiles, ts = _synthetic_tiles(spark)
@@ -114,29 +118,43 @@ def _q_tile_shade_xth(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed pipeline (solid ∘ lambert ⊕ slope ⊕ igor ∘ water shaders)
     shades them (rows-only; XTH/shader semantics pinned in
     tests/test_water.py and tests/test_engine_spark.py)."""
-    import numpy as np
-
     from demeton_spark.engine import run_tile_shade
     from demeton_spark.water import build_xth_tiles
 
     tiles, ts = _synthetic_tiles(spark)
     # water-class raster at 2x the DEM resolution: class 80 where the
-    # terrain sits below 560m (deterministic lakes)
+    # terrain sits below 560m (deterministic lakes); derived tile-by-tile
+    # inside mapInPandas — no driver-side collect
     ws = ts * 2
 
-    def classes_of(heights_buf):
-        h = np.frombuffer(heights_buf, dtype="<i2").reshape(ts, ts)
-        up = np.repeat(np.repeat(h, 2, axis=0), 2, axis=1)
-        return bytearray(
-            np.where(up < 560, 80, 10).astype(np.uint8).tobytes()
-        )
+    def classes_of(batches):
+        import numpy as np
+        import pandas as pd
 
-    rows = [
-        (r["tile_x"], r["tile_y"], classes_of(r["heights"]))
-        for r in tiles.collect()
-    ]
-    water = spark.createDataFrame(
-        rows, "tile_x int, tile_y int, classes binary"
+        for pdf in batches:
+            rows = []
+            for tx, ty, buf in zip(
+                pdf["tile_x"], pdf["tile_y"], pdf["heights"]
+            ):
+                h = np.frombuffer(buf, dtype="<i2").reshape(ts, ts)
+                up = np.repeat(np.repeat(h, 2, axis=0), 2, axis=1)
+                rows.append(
+                    (
+                        int(tx),
+                        int(ty),
+                        bytearray(
+                            np.where(up < 560, 80, 10)
+                            .astype(np.uint8)
+                            .tobytes()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["tile_x", "tile_y", "classes"]
+            )
+
+    water = tiles.mapInPandas(
+        classes_of, "tile_x int, tile_y int, classes binary"
     )
     xth = build_xth_tiles(tiles, water, ts, ws)
     shaded = run_tile_shade(spark, xth, ts)
@@ -147,13 +165,19 @@ def _q_tile_shade_xth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tile_posterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector posterization (reference roadmap "Vector output"):
-    height classes + marching-squares boundary stats per tile
-    (rows-only; partition/oracle properties pinned in
-    tests/test_isolines.py)."""
+    height-class pixel counts + tile-local bboxes, DuckDB-checked
+    against the world regenerated in SQL.  The marching-squares
+    boundary-chain stats the library operator also computes stay
+    covered by the dedicated ``tile_isolines`` query and
+    tests/test_isolines.py (chain topology isn't SQL-expressible)."""
     from demeton_spark.isolines import tile_posterize
 
     tiles, ts = _synthetic_tiles(spark)
-    return tile_posterize(tiles, ts, [550.0, 650.0])
+    out = tile_posterize(tiles, ts, [550.0, 650.0])
+    return out.select(
+        "tile_x", "tile_y", "class_id", "n_px",
+        "min_x", "min_y", "max_x", "max_y",
+    )
 
 
 def _q_shade_raster(spark: SparkSession, sf_dir: str) -> DataFrame:

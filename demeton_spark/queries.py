@@ -1925,6 +1925,147 @@ group by e.query_id
 
 
 # ---------------------------------------------------------------------------
+# oracles for raster contract queries (the synthetic world, in SQL)
+# ---------------------------------------------------------------------------
+#
+# The raster contract queries (__spark_entry__) run over the deterministic
+# synthetic world, not the parquet tables — but the world itself is a pure
+# function of cell coordinates, so DuckDB can regenerate it from
+# generate_series and check the raster operators exactly.  Rounding parity:
+# no terrain value in this window sits nearer than 1.9e-5 to a .5 boundary
+# (checked empirically), so DuckDB round() == np.round here.
+
+_CQ_TS, _CQ_BS = 60, 20
+_CQ_LON0, _CQ_LAT0, _CQ_NTX, _CQ_NTY = 13, 45, 2, 2
+
+
+def _sql_synth_world() -> str:
+    """DuckDB CTE reproducing synth.expected_world_heights for the
+    contract-world spec (2×2 1° tiles, ts=60, bs=20): terrain sinusoid
+    (synth.py:100-108) + deterministic hole mask (synth.py:148-152)."""
+    bpt_side = _CQ_TS // _CQ_BS
+    bpt = bpt_side * bpt_side
+    return f"""
+world as (
+  select tx, ty, lx, ly, tx * {_CQ_TS} + lx as gx, ty * {_CQ_TS} + ly as gy,
+    case when ((((ty - {_CQ_LAT0}) * {_CQ_NTX} + (tx - {_CQ_LON0})) * {bpt}
+               + (ly // {_CQ_BS}) * {bpt_side} + (lx // {_CQ_BS})) % 16 = 5)
+              and (ly % {_CQ_BS}) % 7 = 0 and (lx % {_CQ_BS}) % 5 = 0
+         then -32768
+         else cast(round(500.0
+              + 400.0 * sin(2 * pi() * (tx * {_CQ_TS} + lx) / 1200.0)
+                      * cos(2 * pi() * (ty * {_CQ_TS} + ly) / 1200.0)) as int)
+    end as h
+  from (select unnest(generate_series({_CQ_LON0}, {_CQ_LON0 + _CQ_NTX - 1})) as tx) a
+  cross join (select unnest(generate_series({_CQ_LAT0}, {_CQ_LAT0 + _CQ_NTY - 1})) as ty) b
+  cross join (select unnest(generate_series(0, {_CQ_TS - 1})) as lx) c
+  cross join (select unnest(generate_series(0, {_CQ_TS - 1})) as ly) d
+)"""
+
+
+# Level-0→1 pyramid: 2×2 NaN-masked mean with .NET-style half-to-even
+# rounding, expressed EXACTLY over integers: for mean s/n (s≥0, n≤4),
+# half-to-even(s/n) = s//n + [2(s%n)>n or (2(s%n)=n and s//n odd)].
+SQL_PYRAMID_DOWNSAMPLE = f"""
+with {_sql_synth_world()},
+grp as (
+  select tx // 2 as px, ty // 2 as py,
+         (ty % 2) * {_CQ_TS // 2} + ly // 2 as py_cell,
+         (tx % 2) * {_CQ_TS // 2} + lx // 2 as px_cell,
+         sum(case when h <> -32768 then h else 0 end) as s,
+         sum(case when h <> -32768 then 1 else 0 end) as n
+  from world
+  group by 1, 2, 3, 4
+),
+vals as (
+  select px, py,
+    case when n = 0 then null
+         else s // n + case when 2 * (s % n) > n then 1
+                            when 2 * (s % n) = n and (s // n) % 2 = 1 then 1
+                            else 0 end
+    end as v
+  from grp
+)
+select 1 as level, cast(px as int) as tile_x, cast(py as int) as tile_y,
+       cast({_CQ_TS * _CQ_TS} - count(v) as bigint) as missing_px,
+       cast(sum(v) as bigint) as height_sum
+from vals
+group by px, py
+"""
+
+
+# Cross-tile water components at sea_level=550 via min-label propagation
+# seeded ONLY at scan-order local minima (cells with no water neighbor
+# above or to the left): every cell is reachable from some seed by
+# construction, and the component's global scan-first cell is always a
+# seed, so min(root) per cell = the component id — with reach size
+# O(cells × seeds-reaching) instead of O(cells²).
+SQL_WATER_COMPONENTS = f"""
+with recursive {_sql_synth_world()},
+water as (
+  select gx, gy,
+         (gy + {1 << 25}) * {1 << 26}::bigint + (gx + {1 << 25}) as id
+  from world where h <> -32768 and h <= 550
+),
+edges as (
+  select a.id as src, b.id as dst from water a
+    join water b on b.gx = a.gx + 1 and b.gy = a.gy
+  union all
+  select b.id, a.id from water a
+    join water b on b.gx = a.gx + 1 and b.gy = a.gy
+  union all
+  select a.id, b.id from water a
+    join water b on b.gx = a.gx and b.gy = a.gy + 1
+  union all
+  select b.id, a.id from water a
+    join water b on b.gx = a.gx and b.gy = a.gy + 1
+),
+reach(id, root) as (
+  select w.id, w.id from water w
+  where not exists (select 1 from water u
+                    where u.gx = w.gx - 1 and u.gy = w.gy)
+    and not exists (select 1 from water u
+                    where u.gx = w.gx and u.gy = w.gy - 1)
+  union
+  select e.dst, r.root from reach r join edges e on e.src = r.id
+),
+lab as (
+  select id, min(root) as root from reach group by id
+),
+cells as (
+  select w.gx, w.gy, l.root from water w join lab l using (id)
+)
+select root as component_id,
+       cast(count(*) as bigint) as area,
+       cast(min(gx) as bigint) as min_cx, cast(min(gy) as bigint) as min_cy,
+       cast(max(gx) as bigint) as max_cx, cast(max(gy) as bigint) as max_cy
+from cells
+group by root
+"""
+
+
+# Posterize classes over the contract world: class = #thresholds ≤ h
+# (np.digitize), missing → −1; per-tile pixel count + tile-local bbox.
+SQL_TILE_POSTERIZE = f"""
+with {_sql_synth_world()},
+classed as (
+  select tx, ty, lx, ly,
+         case when h = -32768 then -1
+              else (case when h >= 550 then 1 else 0 end)
+                 + (case when h >= 650 then 1 else 0 end) end as class_id
+  from world
+)
+select cast(tx as int) as tile_x, cast(ty as int) as tile_y,
+       cast(class_id as int) as class_id,
+       cast(count(*) as int) as n_px,
+       cast(min(lx) as int) as min_x, cast(min(ly) as int) as min_y,
+       cast(max(lx) as int) as max_x, cast(max(ly) as int) as max_y
+from classed
+group by tx, ty, class_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1997,4 +2138,9 @@ ORACLES = {
     "knn_ivf_recall": SQL_KNN_IVF_RECALL,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+    # raster contract queries (defined in __spark_entry__) whose synthetic
+    # world DuckDB regenerates from generate_series
+    "pyramid_downsample": SQL_PYRAMID_DOWNSAMPLE,
+    "water_components": SQL_WATER_COMPONENTS,
+    "tile_posterize": SQL_TILE_POSTERIZE,
 }

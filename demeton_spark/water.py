@@ -150,6 +150,10 @@ def component_stats(labels: np.ndarray) -> pd.DataFrame:
         "min_y": np.minimum.reduceat(ys, starts).astype(np.int64),
         "max_x": np.maximum.reduceat(xs, starts).astype(np.int64),
         "max_y": np.maximum.reduceat(ys, starts).astype(np.int64),
+        # scan-first pixel: nonzero() is row-major and the stable sort
+        # keeps that order within each label, so segment head = first
+        "first_x": xs[starts].astype(np.int64),
+        "first_y": ys[starts].astype(np.int64),
     }
     return pd.DataFrame(out)
 
@@ -200,8 +204,18 @@ def outline_distance(mask: np.ndarray, max_dist: int = 3) -> np.ndarray:
 
 TILE_COMPONENT_SCHEMA = (
     "tile_x int, tile_y int, label int, area long, "
-    "min_cx long, min_cy long, max_cx long, max_cy long"
+    "min_cx long, min_cy long, max_cx long, max_cy long, min_key long"
 )
+
+#: lexicographic (cell_y, cell_x) key of a global cell — the portable
+#: component identity (min over members), independent of tile layout
+#: and label numbering; offsets keep it positive for any Earth cell
+_CELL_KEY_OFF = 1 << 25
+_CELL_KEY_MUL = 1 << 26
+
+
+def cell_key(cy: int, cx: int):
+    return (cy + _CELL_KEY_OFF) * _CELL_KEY_MUL + (cx + _CELL_KEY_OFF)
 _EDGE_STRIP_SCHEMA = (
     "ex long, ey long, side string, pos long, node long"
 )
@@ -237,11 +251,15 @@ def tile_water_components(
                     max_cx=st["max_x"] + int(tx) * tile_size,
                     min_cy=st["min_y"] + int(ty) * tile_size,
                     max_cy=st["max_y"] + int(ty) * tile_size,
+                    min_key=cell_key(
+                        st["first_y"] + int(ty) * tile_size,
+                        st["first_x"] + int(tx) * tile_size,
+                    ),
                 )
                 st["label"] = st["label"].astype(np.int32)
                 frames.append(
                     st[["tile_x", "tile_y", "label", "area",
-                        "min_cx", "min_cy", "max_cx", "max_cy"]]
+                        "min_cx", "min_cy", "max_cx", "max_cy", "min_key"]]
                 )
             yield (
                 pd.concat(frames)
@@ -249,7 +267,7 @@ def tile_water_components(
                 else pd.DataFrame(
                     {k: [] for k in (
                         "tile_x", "tile_y", "label", "area",
-                        "min_cx", "min_cy", "max_cx", "max_cy")}
+                        "min_cx", "min_cy", "max_cx", "max_cy", "min_key")}
                 )
             )
 
@@ -297,8 +315,11 @@ def global_water_components(
     label union + component-stat rollup.
 
     Returns (component_id, area, min_cx, min_cy, max_cx, max_cy) in
-    global cell coordinates; component_id is the min node id of the
-    component (deterministic).
+    global cell coordinates; component_id is the lexicographic
+    (cell_y, cell_x) key of the component's first cell in global scan
+    order (``cell_key``) — deterministic AND independent of the tile
+    layout and per-tile label numbering, so any re-tiling of the same
+    raster yields identical ids.
     """
     from .graph import connected_components
 
@@ -322,14 +343,16 @@ def global_water_components(
             "node", _node_id_col("tile_x", "tile_y", "label")
         )
         .join(labels.select("node", F.col("label").alias("comp_label")), on="node")
-        .groupBy(F.col("comp_label").alias("component_id"))
+        .groupBy("comp_label")
         .agg(
+            F.min("min_key").alias("component_id"),
             F.sum("area").alias("area"),
             F.min("min_cx").alias("min_cx"),
             F.min("min_cy").alias("min_cy"),
             F.max("max_cx").alias("max_cx"),
             F.max("max_cy").alias("max_cy"),
         )
+        .drop("comp_label")
     )
 
 
