@@ -213,12 +213,14 @@ def decode_heights_png(data: bytes) -> np.ndarray:
     return uint16_to_heights(arr)
 
 
-#: deflate level for rendered output tiles.  The pipeline is
-#: encode-bound at level 6 (~1.7s/tile vs ~0.3s shading at 1800²);
-#: level 1 encodes 7.8x faster for ~12% larger tiles — the right trade
-#: for a throughput-metric sink.  Height-cache PNGs stay at level 6
-#: (written once, read many).
-RGBA_PNG_LEVEL = 1
+#: default deflate level for rendered output tiles: 6, matching the
+#: reference's zlib DEFAULT_COMPRESSION (Png/Chunks.fs:106) so persisted
+#: artifacts have the reference's storage characteristics.  The pipeline
+#: is encode-bound at level 6 (~1.7s/tile vs ~0.3s shading at 1800²);
+#: throughput-bound paths (bench.py) pass png_level=1 explicitly
+#: (7.8x faster encode, ~12% larger tiles).
+RGBA_PNG_LEVEL = 6
+RGBA_PNG_LEVEL_FAST = 1
 
 
 def encode_rgba_png(image: np.ndarray, level: int = RGBA_PNG_LEVEL) -> bytes:
@@ -297,21 +299,29 @@ def decode_xth(data: bytes, width: int) -> tuple[np.ndarray, np.ndarray]:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     273: "strip_offsets", 278: "rows_per_strip", 279: "strip_counts",
-    277: "samples_per_pixel", 339: "sample_format",
+    277: "samples_per_pixel", 317: "predictor", 339: "sample_format",
 }
+
+#: TIFF compression codes we read: none, Adobe deflate, legacy deflate
+_TIFF_COMPRESSION_NONE = 1
+_TIFF_COMPRESSION_DEFLATE = 8
+_TIFF_COMPRESSION_DEFLATE_OLD = 32946
 
 
 def decode_tiff_gray16(
     data: bytes, duplicate_to_width: int | None = None
 ) -> np.ndarray:
-    """Uncompressed strip-based single-sample int16 TIFF → south-up array.
+    """Strip-based single-sample int16 TIFF → south-up array.
 
     Pure-numpy reimplementation of the AW3D reader's semantics
     (/root/reference/Demeton/Aw3d/Funcs.fs:180-261): scanlines are
     north-first in the file and land in reverse row order; half-width
     (high-latitude) tiles duplicate each column when
-    ``duplicate_to_width`` is given.  Both endiannesses supported;
-    compressed or multi-sample files are rejected.
+    ``duplicate_to_width`` is given.  Both endiannesses supported.
+    Compression: none (1) and deflate strips (8 / legacy 32946, the
+    scheme real AW3D/GDAL tiles ship with) with optional horizontal-
+    differencing predictor 2 (per-row 16-bit sample deltas, undone by a
+    wrapping cumulative sum).  Other schemes are rejected.
     """
     if data[:2] == b"II":
         bo = "<"
@@ -341,19 +351,39 @@ def decode_tiff_gray16(
         if tag in _TIFF_TAGS:
             tags[_TIFF_TAGS[tag]] = [int(v) for v in vals]
     w, h = tags["width"][0], tags["height"][0]
-    if tags.get("compression", [1])[0] != 1:
-        raise ValueError("compressed TIFF not supported")
+    compression = tags.get("compression", [_TIFF_COMPRESSION_NONE])[0]
+    if compression not in (
+        _TIFF_COMPRESSION_NONE,
+        _TIFF_COMPRESSION_DEFLATE,
+        _TIFF_COMPRESSION_DEFLATE_OLD,
+    ):
+        raise ValueError(f"unsupported TIFF compression {compression}")
     if tags.get("bits", [16])[0] != 16 or tags.get("samples_per_pixel", [1])[0] != 1:
         raise ValueError("expected single-sample 16-bit TIFF")
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     signed = tags.get("sample_format", [2])[0] == 2
     dt = f"{bo}i2" if signed else f"{bo}u2"
     rows_per_strip = tags.get("rows_per_strip", [h])[0]
+    strip_counts = tags.get("strip_counts", [len(data)] * len(tags["strip_offsets"]))
     rows = []
     for si, off in enumerate(tags["strip_offsets"]):
         n_rows = min(rows_per_strip, h - si * rows_per_strip)
-        rows.append(
-            np.frombuffer(data, dt, n_rows * w, off).reshape(n_rows, w)
-        )
+        if compression == _TIFF_COMPRESSION_NONE:
+            strip = np.frombuffer(data, dt, n_rows * w, off)
+        else:
+            raw = zlib.decompress(data[off : off + strip_counts[si]])
+            strip = np.frombuffer(raw, dt, n_rows * w)
+        strip = strip.reshape(n_rows, w)
+        if predictor == 2:
+            # horizontal differencing over 16-bit samples: undo with a
+            # wrapping per-row cumulative sum
+            acc = np.cumsum(
+                strip.astype(np.int64), axis=1, dtype=np.int64
+            ) & 0xFFFF
+            strip = acc.astype(np.uint16).view(np.int16) if signed else acc
+        rows.append(strip)
     north_up = np.concatenate(rows).astype(np.int16)
     south_up = north_up[::-1, :]  # reverse row order (Funcs.fs:219-222)
     if duplicate_to_width is not None and w != duplicate_to_width:
@@ -363,16 +393,38 @@ def decode_tiff_gray16(
     return south_up
 
 
-def encode_tiff_gray16(heights_south_up: np.ndarray) -> bytes:
-    """Minimal little-endian uncompressed int16 TIFF (one strip), rows
-    north-first — the inverse of :func:`decode_tiff_gray16` for tests
-    and sinks."""
+def encode_tiff_gray16(
+    heights_south_up: np.ndarray,
+    compression: int = _TIFF_COMPRESSION_NONE,
+    predictor: int = 1,
+    zlevel: int = 6,
+) -> bytes:
+    """Minimal little-endian int16 TIFF (one strip), rows north-first —
+    the inverse of :func:`decode_tiff_gray16` for tests and sinks.
+    ``compression`` 1 (none) or 8 (deflate); ``predictor`` 2 applies
+    per-row horizontal differencing before deflate (the layout GDAL
+    writes for AW3D-style tiles)."""
     north_up = np.ascontiguousarray(heights_south_up[::-1, :]).astype("<i2")
     h, w = north_up.shape
+    payload_arr = north_up
+    if predictor == 2:
+        u = north_up.view("<u2").astype(np.int64)
+        diff = np.empty_like(u)
+        diff[:, 0] = u[:, 0]
+        diff[:, 1:] = (u[:, 1:] - u[:, :-1]) & 0xFFFF
+        payload_arr = diff.astype("<u2")
+    elif predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
+    payload = payload_arr.tobytes()
+    if compression in (_TIFF_COMPRESSION_DEFLATE, _TIFF_COMPRESSION_DEFLATE_OLD):
+        payload = zlib.compress(payload, zlevel)
+    elif compression != _TIFF_COMPRESSION_NONE:
+        raise ValueError(f"unsupported compression {compression}")
     entries = [
-        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16),
+        (259, 3, 1, compression),
         (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, h),
-        (279, 4, 1, h * w * 2), (339, 3, 1, 2),
+        (279, 4, 1, len(payload)), (317, 3, 1, predictor), (339, 3, 1, 2),
     ]
     ifd_off = 8
     data_off = ifd_off + 2 + len(entries) * 12 + 4
@@ -387,7 +439,7 @@ def encode_tiff_gray16(heights_south_up: np.ndarray) -> bytes:
             "<HH", value, 0
         )
     out += struct.pack("<I", 0)  # next IFD
-    out += north_up.tobytes()
+    out += payload
     return bytes(out)
 
 

@@ -400,6 +400,7 @@ def shade_parts(
     clip_poly: np.ndarray | None = None,
     halo: int = 1,
     prefilter: str | None = None,
+    png_level: int | None = None,
 ) -> DataFrame:
     """Fused stage B: halo-pad + optional prefilters + Horn + shaders +
     PNG encode in one applyInPandas (one shuffle keyed by destination
@@ -407,6 +408,7 @@ def shade_parts(
     steps = pipeline.parse_script(script)
     registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
     # registered on the driver ride the closure to executor processes
+    lvl = codec.RGBA_PNG_LEVEL if png_level is None else png_level
     pre_steps = pipeline.parse_script(prefilter) if prefilter else []
     if halo != 1 + len(pre_steps):
         raise ValueError(
@@ -444,7 +446,7 @@ def shade_parts(
                 "tile_name": [_tile_name(0, tile_x, tile_y)],
                 "width": [ts],
                 "height": [ts],
-                "png": [codec.encode_rgba_png(rgba)],
+                "png": [codec.encode_rgba_png(rgba, lvl)],
                 "shaded_px": [shaded],
                 "total_px": [ts * ts],
                 "n_blocks": [n_blocks],
@@ -644,6 +646,7 @@ def shade_unified(
     clip_poly: np.ndarray | None = None,
     halo: int = 1,
     prefilter: str | None = None,
+    png_level: int | None = None,
 ) -> DataFrame:
     """One grouped task per tile: stitch blocks, apply neighbor strips
     into the k-px halo, optional height prefilters, Horn + shaders, PNG
@@ -655,6 +658,7 @@ def shade_unified(
     steps = pipeline.parse_script(script)
     registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
     # registered on the driver ride the closure to executor processes
+    lvl = codec.RGBA_PNG_LEVEL if png_level is None else png_level
     pre_steps = pipeline.parse_script(prefilter) if prefilter else []
     if halo != 1 + len(pre_steps):
         raise ValueError(
@@ -719,7 +723,7 @@ def shade_unified(
                 "tile_name": [_tile_name(0, tile_x, tile_y)],
                 "width": [ts],
                 "height": [ts],
-                "png": [codec.encode_rgba_png(rgba)],
+                "png": [codec.encode_rgba_png(rgba, lvl)],
                 "shaded_px": [shaded],
                 "total_px": [ts * ts],
                 "n_blocks": [n_blocks_in],
@@ -822,12 +826,15 @@ def shade_padded_block(
 
 
 def shade_tiles(
-    padded_tiles: DataFrame, tile_size: int, script: str = pipeline.DEFAULT_SCRIPT
+    padded_tiles: DataFrame, tile_size: int,
+    script: str = pipeline.DEFAULT_SCRIPT,
+    png_level: int | None = None,
 ) -> DataFrame:
     """Run the shading pipeline over halo-padded tiles (one task per tile)."""
     steps = pipeline.parse_script(script)
     registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
     # registered on the driver ride the closure to executor processes
+    lvl = codec.RGBA_PNG_LEVEL if png_level is None else png_level
 
     def shade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -850,7 +857,7 @@ def shade_tiles(
                 rows["tile_name"].append(_tname(0, int(tx), int(ty)))
                 rows["width"].append(tile_size)
                 rows["height"].append(tile_size)
-                rows["png"].append(codec.encode_rgba_png(rgba))
+                rows["png"].append(codec.encode_rgba_png(rgba, lvl))
                 rows["shaded_px"].append(shaded)
                 rows["total_px"].append(tile_size * tile_size)
                 rows["n_blocks"].append(0)  # unfused path: no lineage carry
@@ -877,6 +884,7 @@ def run_tile_shade(
     xth_tiles: DataFrame,
     tile_size: int,
     script: str = TILE_SHADE_SCRIPT,
+    png_level: int | None = None,
 ) -> DataFrame:
     """XTH-packed tiles (heights + water bit) → shaded PNG tiles.
 
@@ -890,6 +898,7 @@ def run_tile_shade(
     steps = pipeline.parse_script(script)
     registry = dict(pipeline.SHADER_REGISTRY)  # snapshot: custom shaders
     # registered on the driver ride the closure to executor processes
+    lvl = codec.RGBA_PNG_LEVEL if png_level is None else png_level
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ts = tile_size
@@ -934,7 +943,7 @@ def run_tile_shade(
                 "tile_name": [_tile_name(0, tile_x, tile_y)],
                 "width": [ts],
                 "height": [ts],
-                "png": [codec.encode_rgba_png(rgba)],
+                "png": [codec.encode_rgba_png(rgba, lvl)],
                 "shaded_px": [shaded],
                 "total_px": [ts * ts],
                 "n_blocks": [1],
@@ -961,6 +970,7 @@ def run_hillshade(
     clip_polygon=None,
     shade_partitions: int | None = None,
     prefilter: str | None = None,
+    png_level: int | None = None,
 ) -> DataFrame:
     """images table → shaded PNG tiles.
 
@@ -1007,7 +1017,7 @@ def run_hillshade(
                 )
         shaded = shade_parts(
             parts, tile_size, script, clip_poly=clip_poly,
-            halo=halo, prefilter=prefilter,
+            halo=halo, prefilter=prefilter, png_level=png_level,
         )
     else:
         parts = hillshade_parts(assigned, tile_size, halo)
@@ -1047,7 +1057,7 @@ def run_hillshade(
         parts = parts.repartition(n_parts, "tile_x", "tile_y")
         shaded = shade_unified(
             parts, tile_size, script, clip_poly=clip_poly,
-            halo=halo, prefilter=prefilter,
+            halo=halo, prefilter=prefilter, png_level=png_level,
         )
     if output_dir is not None:
         shaded.write.mode("append").parquet(output_dir)

@@ -255,6 +255,9 @@ def evaluate_steps(
         if (
             image is not None
             and step.name == "igor"
+            # only fuse while 'igor' still maps to the built-in shader —
+            # a runtime register_shader('igor', ...) override must win
+            and reg.get("igor") is _shade_igor
             and step.params.get("compose", "over") == "over"
             and _color(step.params, "shadcol", (0, 0, 0, 0))[:3] == (0, 0, 0)
             and bool((image[..., 3] == 255).all())

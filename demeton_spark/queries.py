@@ -1776,11 +1776,20 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first image_id, count the copies.  At 10^12 images this is one
     hash-aggregate shuffle on an int64 key — the cheapest possible
     dedup pass, and the reason the input schema carries phash at all.
+    The synthetic world side scales as sqrt(sf) so benchmark timings
+    track the scale factor like every other headline query
+    (2×2 tiles at sf0.001 → 20×20 at sf0.1).
     """
+    import math
+    import re
+
     from demeton_spark.synth import WorldSpec, images_df
 
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    side = max(2, int(round(2 * math.sqrt(sf / 0.001))))
     spec = WorldSpec(
-        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60,
+        lon0=13, lat0=45, n_tiles_x=side, n_tiles_y=side, tile_size=60,
         block_size=20, skew_factor=3,
     )
     imgs = images_df(spark, spec)

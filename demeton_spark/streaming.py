@@ -253,6 +253,7 @@ def streaming_hillshade(
     script: str = "elecolor|+igor",
     clip_polygon=None,
     prefilter: str | None = None,
+    png_level: int | None = None,
 ) -> DataFrame:
     """Streaming twin of the fused batch topology: incremental
     hillshade with cross-batch halo exchange, one stateful operator.
@@ -293,6 +294,8 @@ def streaming_hillshade(
     from .pipeline import SHADER_REGISTRY
 
     registry = dict(SHADER_REGISTRY)  # driver snapshot for executors
+    from . import codec as _codec
+    lvl = _codec.RGBA_PNG_LEVEL if png_level is None else png_level
     pre_steps = parse_script(prefilter) if prefilter else []
     halo = 1 + len(pre_steps)
     clip_poly = None
@@ -444,7 +447,7 @@ def streaming_hillshade(
                 "tile_x": [tx],
                 "tile_y": [ty],
                 "tile_name": [_tile_name(0, tx, ty)],
-                "png": [codec.encode_rgba_png(rgba)],
+                "png": [codec.encode_rgba_png(rgba, lvl)],
                 "shaded_px": [shaded],
                 "total_px": [ts * ts],
                 "n_blocks": [n_blocks],

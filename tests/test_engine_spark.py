@@ -252,7 +252,7 @@ def test_image_phash_dedup_invariants(spark):
     from demeton_spark.queries import q_image_phash_dedup
     from demeton_spark.synth import WorldSpec, images_df
 
-    out = q_image_phash_dedup(spark, "unused").toPandas()
+    out = q_image_phash_dedup(spark, "/root/testdata/sf0.001").toPandas()
     spec = WorldSpec(
         lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60,
         block_size=20, skew_factor=3,

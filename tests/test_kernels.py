@@ -305,3 +305,30 @@ def test_fused_igor_over_opaque_identical_to_unfused():
     )
     base = kernels.shade_elevation(heights, MAPERITIVE_SCALE)
     assert np.array_equal(fused, kernels.composite_over(layer, base))
+
+
+def test_igor_override_beats_fusion():
+    """register_shader('igor', custom) must win even when the base layer
+    is fully opaque and shadcol is black — the fused fast path only
+    applies while 'igor' still maps to the built-in shader."""
+    from demeton_spark import pipeline as P
+
+    h, w = 8, 8
+    heights = np.full((h, w), 1000.0)
+    ctx = P.ShadeContext(
+        heights=heights, slope=np.full((h, w), 0.3), aspect=np.zeros((h, w))
+    )
+
+    def custom_igor(c, params):
+        out = np.zeros((h, w, 4), dtype=np.uint8)
+        out[..., 1] = 123  # green — nothing the builtin would produce
+        out[..., 3] = 255
+        return out
+
+    steps = [P.Step("elecolor", {}), P.Step("igor", {})]
+    builtin = P.evaluate_steps(steps, ctx)
+    assert not (builtin[..., 1] == 123).all()
+    reg = dict(P.SHADER_REGISTRY)
+    reg["igor"] = custom_igor
+    overridden = P.evaluate_steps(steps, ctx, registry=reg)
+    assert (overridden[..., 1] == 123).all() and (overridden[..., 3] == 255).all()
