@@ -992,6 +992,14 @@ def run_hillshade(
     clip_poly = None
     if clip_polygon is not None:
         clip_poly = np.asarray(clip_polygon, dtype=np.float64)
+        # validate before any work is scheduled: a self-intersecting clip
+        # polygon would silently mis-clip under the crossing-number rule
+        # (PolygonSelfIntersection.fs sweep semantics)
+        from .geometry import polygon_self_intersects
+
+        status = polygon_self_intersects(clip_poly)
+        if status != "non_intersecting":
+            raise ValueError(f"clip_polygon rejected: {status}")
     halo = 1 + (len(pipeline.parse_script(prefilter)) if prefilter else 0)
     assigned = parse_caption(images)
     if salt_buckets and salt_buckets > 1:

@@ -301,6 +301,14 @@ def streaming_hillshade(
     clip_poly = None
     if clip_polygon is not None:
         clip_poly = np.asarray(clip_polygon, dtype=np.float64)
+        # validate before any work is scheduled: a self-intersecting clip
+        # polygon would silently mis-clip under the crossing-number rule
+        # (PolygonSelfIntersection.fs sweep semantics)
+        from .geometry import polygon_self_intersects
+
+        status = polygon_self_intersects(clip_poly)
+        if status != "non_intersecting":
+            raise ValueError(f"clip_polygon rejected: {status}")
     wx0, wy0, wx1, wy1 = world_bounds  # sender existence universe
     tx0, ty0, tx1, ty1 = world_bounds  # destination (kept-tile) universe
     if clip_poly is not None:
