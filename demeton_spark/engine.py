@@ -592,6 +592,34 @@ def emit_block_strips(
     return edge.mapInPandas(cut, schema=UNIFIED_PART_SCHEMA)
 
 
+def dedup_duplicate_blocks(assigned: DataFrame) -> DataFrame:
+    """Pre-shuffle duplicate collapse: within each Arrow batch keep only
+    the max-``image_id`` row per (tile_x, tile_y, bx, by).
+
+    Purely local — no shuffle, no global aggregation — so the
+    overwrite-order winner (max image_id, the same rule the
+    post-shuffle winner-only decode applies) always survives, and the
+    pipeline output stays byte-identical.  Enable via
+    ``run_hillshade(local_dedup=True)`` when the source carries heavy
+    duplicate-block skew: losing payloads then never cross the wire
+    (the SCALE.md caveat), at the cost of one Arrow pass over the
+    input — a win whenever the duplication ratio beats ~1.5×.
+    """
+    schema = assigned.schema
+
+    def dedup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            idx = pdf.groupby(["tile_x", "tile_y", "bx", "by"])[
+                "image_id"
+            ].idxmax()
+            yield pdf.loc[np.sort(idx.to_numpy())]
+
+    return assigned.mapInPandas(dedup, schema=schema)
+
+
 def hillshade_parts(
     assigned: DataFrame, tile_size: int, halo: int = 1
 ) -> DataFrame:
@@ -971,6 +999,7 @@ def run_hillshade(
     shade_partitions: int | None = None,
     prefilter: str | None = None,
     png_level: int | None = None,
+    local_dedup: bool = False,
 ) -> DataFrame:
     """images table → shaded PNG tiles.
 
@@ -1002,6 +1031,10 @@ def run_hillshade(
             raise ValueError(f"clip_polygon rejected: {status}")
     halo = 1 + (len(pipeline.parse_script(prefilter)) if prefilter else 0)
     assigned = parse_caption(images)
+    if local_dedup:
+        # duplicate-heavy sources: collapse losing duplicate blocks
+        # before anything is emitted or shuffled (byte-identical output)
+        assigned = dedup_duplicate_blocks(assigned)
     if salt_buckets and salt_buckets > 1:
         # two-phase salted assembly for pathological per-tile skew keeps
         # the two-stage topology (partial mosaics need their own shuffle)
