@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: rounds used by the most recent connected_components call (for tests
+#: and round-count telemetry)
+LAST_ROUNDS = 0
+
 
 def connected_components(
     nodes: DataFrame,
@@ -26,13 +30,28 @@ def connected_components(
     node_col: str = "node",
     edge_cols: tuple[str, str] = ("a", "b"),
     max_iterations: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Label every node with the min node id of its component.
 
     ``nodes``: one column ``node_col`` (distinct ids, orderable).
     ``edges``: columns ``edge_cols`` (undirected; both orientations are
     derived here).  Returns ``(node, label)``.
+
+    ``algorithm``:
+      - ``"label"`` (default) — min-label propagation, O(diameter)
+        rounds; right for the dense/low-diameter graphs the engine
+        builds (duplicate clusters, tile adjacency).
+      - ``"star"`` — alternating large-star/small-star contraction
+        (Kiveris et al., "Connected Components in MapReduce and
+        Beyond"), O(log n) rounds; the scale path for chain- or
+        tree-shaped graphs whose diameter grows with n.
     """
+    if algorithm == "star":
+        return _cc_star(nodes, edges, node_col, edge_cols, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    global LAST_ROUNDS
     ea, eb = edge_cols
     sym = edges.select(F.col(ea).alias("src"), F.col(eb).alias("dst")).union(
         edges.select(F.col(eb).alias("src"), F.col(ea).alias("dst"))
@@ -40,7 +59,8 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint()
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        LAST_ROUNDS = it + 1
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -62,3 +82,93 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Attach every node's strictly-larger neighbors to its local min."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("a", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Attach every node's smaller-or-equal neighborhood to its min."""
+    d = (
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = (
+        d.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("a", "mn").alias("m"))
+    )
+    joined = d.join(mins, "a")
+    return (
+        joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(joined.select("a", F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _cc_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    edge_cols: tuple[str, str],
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star/small-star edge contraction to a forest of
+    stars rooted at component minima; O(log n) rounds.  Fixpoint is
+    detected by an order-insensitive (count, hash-sum) signature of the
+    edge set."""
+    global LAST_ROUNDS
+    ea, eb = edge_cols
+    e = (
+        edges.select(F.col(ea).alias("a"), F.col(eb).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for it in range(max_iterations):
+        LAST_ROUNDS = it + 1
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # mask to 40 bits so the ANSI-mode sum can't overflow int64
+            F.sum(
+                F.xxhash64("a", "b").bitwiseAND(F.lit((1 << 40) - 1))
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every edge points node → component min
+    stars = (
+        e.select(
+            F.greatest("a", "b").alias("node"),
+            F.least("a", "b").alias("label"),
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(stars, "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )
