@@ -290,3 +290,99 @@ def tile_posterize(
             yield pd.DataFrame(rows)
 
     return tiles.mapInPandas(run, schema=POSTERIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# isoline move encoding (reference IsolineMoves.fs:1-304): chains →
+# 8-direction run-length moves in the "doubled" coordinate system that
+# counts both cells and the edges between them (cell (1,1) → (2,2), the
+# edge between cells (1,0)-(2,0) → (3,0)).
+# ---------------------------------------------------------------------------
+
+_MOVE_DIRS = {
+    (0, 1): "N", (1, 1): "NE", (1, 0): "E", (1, -1): "SE",
+    (0, -1): "S", (-1, -1): "SW", (-1, 0): "W", (-1, 1): "NW",
+}
+_DIR_VECS = {v: k for k, v in _MOVE_DIRS.items()}
+#: doubled-coordinate step length per direction: straight moves hop two
+#: units (edge midpoint → opposite edge midpoint), diagonals one
+_DIR_STEP = {
+    d: (dx * (1 if dx and dy else 2), dy * (1 if dx and dy else 2))
+    for (dx, dy), d in _MOVE_DIRS.items()
+}
+
+
+def _clipping_edge(pt2: tuple[int, int], w2: int, h2: int) -> tuple[str, int, int]:
+    """Classify a doubled-coords endpoint by the array edge it clips at
+    (IsolineMoves.fs ClippingEdge: Top/Right/Bottom/Left + coords)."""
+    x2, y2 = pt2
+    if y2 == h2:
+        return ("top", x2, y2)
+    if x2 == w2:
+        return ("right", x2, y2)
+    if y2 == 0:
+        return ("bottom", x2, y2)
+    if x2 == 0:
+        return ("left", x2, y2)
+    raise ValueError(f"endpoint {pt2} not on the array edge")
+
+
+def encode_chain_moves(chain: np.ndarray, grid_shape: tuple[int, int]) -> dict:
+    """Encode one marching-squares chain (over a BINARY mask, so every
+    vertex is an edge midpoint) as run-length 8-direction moves.
+
+    Returns {"kind": "closed"|"clipped", "start2": (x2, y2),
+    "moves": [(dir, count), ...]} plus, for clipped isolines,
+    "start_edge"/"end_edge" (IsolineMoves.fs ClippingEdge).  Raises if
+    the chain's vertices don't sit on half-integer edge midpoints
+    (i.e. the mask wasn't binary).
+    """
+    h, w = grid_shape
+    w2, h2 = 2 * (w - 1), 2 * (h - 1)
+    d = np.rint(np.asarray(chain) * 2.0).astype(np.int64)
+    if not np.allclose(np.asarray(chain) * 2.0, d, atol=1e-6):
+        raise ValueError("chain vertices are not edge midpoints")
+    closed = bool((d[0] == d[-1]).all()) and len(d) > 2
+    deltas = np.diff(d, axis=0)
+    moves: list[tuple[str, int]] = []
+    for dx, dy in deltas:
+        direction = _MOVE_DIRS[(int(np.sign(dx)), int(np.sign(dy)))]
+        if moves and moves[-1][0] == direction:
+            moves[-1] = (direction, moves[-1][1] + 1)
+        else:
+            moves.append((direction, 1))
+    out = {
+        "kind": "closed" if closed else "clipped",
+        "start2": (int(d[0, 0]), int(d[0, 1])),
+        "moves": moves,
+    }
+    if not closed:
+        out["start_edge"] = _clipping_edge((int(d[0, 0]), int(d[0, 1])), w2, h2)
+        out["end_edge"] = _clipping_edge((int(d[-1, 0]), int(d[-1, 1])), w2, h2)
+    return out
+
+
+def decode_chain_moves(encoded: dict) -> np.ndarray:
+    """Inverse of :func:`encode_chain_moves`: moves → the (K, 2) float
+    chain in grid coordinates (the movesToSteps direction of the
+    reference's round-trip property)."""
+    x2, y2 = encoded["start2"]
+    pts = [(x2, y2)]
+    for direction, count in encoded["moves"]:
+        vx, vy = _DIR_STEP[direction]
+        for _ in range(count):
+            x2, y2 = x2 + vx, y2 + vy
+            pts.append((x2, y2))
+    return np.asarray(pts, dtype=np.float64) / 2.0
+
+
+def mask_isoline_moves(mask: np.ndarray) -> list[dict]:
+    """All isolines of a binary mask as move encodings: marching squares
+    at level 0.5 (every crossing interpolates to an edge midpoint),
+    chained, then RLE move-encoded.  The list is deterministic
+    (chain_segments scan order)."""
+    grid = np.asarray(mask, dtype=np.float64)
+    segs = isoline_segments(grid, 0.5)
+    return [
+        encode_chain_moves(ch, grid.shape) for ch in chain_segments(segs)
+    ]

@@ -155,3 +155,61 @@ def test_tile_posterize_partitions_pixels(spark):
     for r in got:
         if r["class_id"] >= 0:
             assert r["lo"] < r["hi"] or r["class_id"] in (0, len(thresholds))
+
+
+def test_move_encoding_round_trip_closed():
+    """Interior blob → one closed isoline; moves→points inverts encode
+    (the reference's steps↔moves round-trip property,
+    IsolineMoves.fs)."""
+    from demeton_spark import isolines as iso
+
+    mask = np.zeros((8, 8), dtype=bool)
+    mask[2:6, 2:6] = True
+    enc = iso.mask_isoline_moves(mask)
+    assert len(enc) == 1 and enc[0]["kind"] == "closed"
+    segs = iso.isoline_segments(mask.astype(np.float64), 0.5)
+    chains = iso.chain_segments(segs)
+    decoded = iso.decode_chain_moves(enc[0])
+    assert np.allclose(decoded, chains[0])
+    # closed loop: decoded path returns to its start
+    assert np.allclose(decoded[0], decoded[-1])
+    # RLE counts sum to the number of steps
+    assert sum(c for _, c in enc[0]["moves"]) == len(chains[0]) - 1
+
+
+def test_move_encoding_clipped_edges():
+    """A band touching two array edges → clipped isolines with start/end
+    ClippingEdge metadata."""
+    from demeton_spark import isolines as iso
+
+    mask = np.zeros((6, 9), dtype=bool)
+    mask[0:3, :] = True  # southern band across the full width
+    enc = iso.mask_isoline_moves(mask)
+    clipped = [e for e in enc if e["kind"] == "clipped"]
+    assert clipped, enc
+    for e in clipped:
+        sides = {e["start_edge"][0], e["end_edge"][0]}
+        assert sides <= {"left", "right", "top", "bottom"}
+        assert np.allclose(iso.decode_chain_moves(e),
+                           iso.decode_chain_moves(e))
+    # the band's contour runs straight west-east: one long RLE move
+    longest = max(clipped, key=lambda e: sum(c for _, c in e["moves"]))
+    dirs = [d for d, _ in longest["moves"]]
+    assert len(dirs) <= 3 and ("E" in dirs or "W" in dirs)
+
+
+def test_move_encoding_rle_and_diagonals():
+    """A diagonal staircase mask produces alternating diagonal moves;
+    round-trip stays exact."""
+    from demeton_spark import isolines as iso
+
+    mask = np.zeros((7, 7), dtype=bool)
+    for i in range(6):
+        mask[i, : i + 1] = True
+    enc = iso.mask_isoline_moves(mask)
+    segs = iso.isoline_segments(mask.astype(np.float64), 0.5)
+    chains = iso.chain_segments(segs)
+    assert len(enc) == len(chains)
+    for e, ch in zip(enc, chains):
+        assert np.allclose(iso.decode_chain_moves(e), ch)
+        assert any(d in ("NE", "NW", "SE", "SW") for d, _ in e["moves"])
