@@ -163,6 +163,17 @@ def _q_tile_shade_xth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_isoline_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares case histogram per (tile, level) — the
+    SQL-checkable core of the isoline classification (the DuckDB twin
+    recomputes the 4-bit corner code from the regenerated world);
+    segment geometry/chaining stays pinned by tests + tile_isolines."""
+    from demeton_spark.isolines import tile_case_histogram
+
+    tiles, ts = _synthetic_tiles(spark)
+    return tile_case_histogram(tiles, ts, [550.0, 650.0])
+
+
 def _q_tile_posterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector posterization (reference roadmap "Vector output"):
     height-class pixel counts + tile-local bboxes, DuckDB-checked
@@ -225,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pyramid_downsample"] = _q_pyramid_downsample
     out["water_components"] = _q_water_components
     out["tile_isolines"] = _q_tile_isolines
+    out["tile_isoline_cases"] = _q_tile_isoline_cases
     out["tile_posterize"] = _q_tile_posterize
     out["tile_shade_xth"] = _q_tile_shade_xth
     out["shade_raster"] = _q_shade_raster

@@ -62,11 +62,14 @@ HEADLINE_QUERIES = [
     "doc_exact_dedup",
     "doc_minhash",
     "doc_near_dup_pairs",
+    "doc_near_dup_recall",
+    "doc_dedup_keep_best",
     "doc_token_stats",
     "doc_lang_quality",
     "doc_simhash",
     "doc_simhash_near_dup",
     "image_phash_dedup",
+    "image_phash_near_dup",
     "doc_fingerprint",
     "doc_ngram_near_dup",
     "knn_bruteforce",

@@ -386,3 +386,49 @@ def mask_isoline_moves(mask: np.ndarray) -> list[dict]:
     return [
         encode_chain_moves(ch, grid.shape) for ch in chain_segments(segs)
     ]
+
+
+CASE_HISTOGRAM_SCHEMA = (
+    "tile_x int, tile_y int, level double, case_id int, n_cells long"
+)
+
+
+def tile_case_histogram(
+    tiles: DataFrame, tile_size: int, levels: list[float]
+) -> DataFrame:
+    """Marching-squares case histogram per (tile, level): how many 2×2
+    cells fall in each crossing configuration 1..14 (0/15 = uniform,
+    any-missing → 0, exactly like :func:`isoline_segments`).  The
+    SQL-checkable core of the marching-squares classification — the
+    oracle recomputes it from the four corner heights per cell."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "tile_x", "tile_y", "level", "case_id", "n_cells")}
+            for tx, ty, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["heights"]):
+                f = kernels.heights_to_float(
+                    np.frombuffer(buf, dtype="<i2").reshape(tile_size, tile_size)
+                )
+                bl, br = f[:-1, :-1], f[:-1, 1:]
+                tr, tl = f[1:, 1:], f[1:, :-1]
+                ok = ~(np.isnan(bl) | np.isnan(br) | np.isnan(tr) | np.isnan(tl))
+                for level in levels:
+                    case = (
+                        (bl >= level).astype(np.int8)
+                        | ((br >= level).astype(np.int8) << 1)
+                        | ((tr >= level).astype(np.int8) << 2)
+                        | ((tl >= level).astype(np.int8) << 3)
+                    )
+                    case = np.where(ok, case, 0)
+                    counts = np.bincount(case.ravel(), minlength=16)
+                    for cid in range(1, 15):
+                        if counts[cid]:
+                            rows["tile_x"].append(int(tx))
+                            rows["tile_y"].append(int(ty))
+                            rows["level"].append(float(level))
+                            rows["case_id"].append(cid)
+                            rows["n_cells"].append(int(counts[cid]))
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(run, schema=CASE_HISTOGRAM_SCHEMA)

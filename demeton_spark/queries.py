@@ -999,6 +999,72 @@ from reach group by doc
 """
 
 
+def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's user-facing finish: one row per near-dup
+    cluster with the canonical document to KEEP — highest quality score
+    (lexical diversity), doc_id as the deterministic tie-break — plus
+    the cluster size.  Composes two oracle-checked queries
+    (``doc_dedup_clusters`` × ``doc_lang_quality``), so at 10^12 docs
+    it is one extra hash-aggregate over the cluster assignment.
+    """
+    clusters = q_doc_dedup_clusters(spark, sf_dir)
+    quality = q_doc_lang_quality(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    best = F.struct(
+        F.col("quality"), (-F.col("doc_id")).alias("neg_id")
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", best).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.max("quality"), 6).alias("best_quality"),
+        )
+    )
+
+
+SQL_DOC_DEDUP_KEEP_BEST = f"""
+with recursive {_SQL_DOC_SIGNATURES},
+pairs as (
+  select doc_a, doc_b from verified where 2 * i >= na + nb - i
+),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union all
+  select doc_b as a, doc_a as b from pairs
+),
+reach(doc, root) as (
+  select doc_id, doc_id from w
+  union
+  select e.b, r.root from reach r join edges e on e.a = r.doc
+),
+clusters as (
+  select doc as doc_id, cast(min(root) as bigint) as cluster_id
+  from reach group by doc
+),
+quality as (
+  select cast(doc_id as bigint) as doc_id,
+    round(cast(len(list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> ''))) as double)
+          / len(list_filter(string_split(text, ' '), x -> x <> '')), 6)
+      as quality
+  from documents
+),
+ranked as (
+  select c.cluster_id, c.doc_id, q.quality,
+         row_number() over (partition by c.cluster_id
+                            order by q.quality desc, c.doc_id asc) as rn
+  from clusters c join quality q using (doc_id)
+)
+select cluster_id,
+       max(case when rn = 1 then doc_id end) as keep_id,
+       cast(count(*) as bigint) as n_docs,
+       round(max(quality), 6) as best_quality
+from ranked
+group by cluster_id
+"""
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint from md5-derived word hashes."""
     docs = _t(spark, sf_dir, "documents")
@@ -2053,6 +2119,44 @@ group by root
 """
 
 
+# Marching-squares case histogram over the contract world: corner
+# heights via three self-joins, case index = the same 4-bit corner code
+# the segment extractor uses (any missing corner → 0; uniform 0/15
+# excluded), counted per (tile, level).
+SQL_TILE_ISOLINE_CASES = f"""
+with {_sql_synth_world()},
+corners as (
+  select b.tx, b.ty,
+         b.h as bl, r.h as br, t.h as tl, q.h as tr_
+  from world b
+  join world r on r.tx = b.tx and r.ty = b.ty
+              and r.lx = b.lx + 1 and r.ly = b.ly
+  join world t on t.tx = b.tx and t.ty = b.ty
+              and t.lx = b.lx and t.ly = b.ly + 1
+  join world q on q.tx = b.tx and q.ty = b.ty
+              and q.lx = b.lx + 1 and q.ly = b.ly + 1
+  where b.lx < {_CQ_TS - 1} and b.ly < {_CQ_TS - 1}
+),
+cases as (
+  select tx, ty, cast(lvl as double) as level,
+    case when bl = -32768 or br = -32768 or tl = -32768 or tr_ = -32768
+         then 0
+         else (case when bl >= lvl then 1 else 0 end)
+            + (case when br >= lvl then 2 else 0 end)
+            + (case when tr_ >= lvl then 4 else 0 end)
+            + (case when tl >= lvl then 8 else 0 end) end as case_id
+  from corners
+  cross join (select unnest([550.0, 650.0]) as lvl) L
+)
+select cast(tx as int) as tile_x, cast(ty as int) as tile_y, level,
+       cast(case_id as int) as case_id,
+       cast(count(*) as bigint) as n_cells
+from cases
+where case_id between 1 and 14
+group by tx, ty, level, case_id
+"""
+
+
 # Posterize classes over the contract world: class = #thresholds ≤ h
 # (np.digitize), missing → −1; per-tile pixel count + tile-local bbox.
 SQL_TILE_POSTERIZE = f"""
@@ -2101,6 +2205,7 @@ QUERIES = {
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
     "doc_near_dup_recall": q_doc_near_dup_recall,
     "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_dedup_keep_best": q_doc_dedup_keep_best,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
     "doc_ngram_near_dup": q_doc_ngram_near_dup,
@@ -2137,6 +2242,7 @@ ORACLES = {
     "doc_near_dup_pairs": SQL_DOC_NEAR_DUP_PAIRS,
     "doc_near_dup_recall": SQL_DOC_NEAR_DUP_RECALL,
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
+    "doc_dedup_keep_best": SQL_DOC_DEDUP_KEEP_BEST,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_simhash_near_dup": SQL_DOC_SIMHASH_NEAR_DUP,
     "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
@@ -2152,4 +2258,5 @@ ORACLES = {
     "pyramid_downsample": SQL_PYRAMID_DOWNSAMPLE,
     "water_components": SQL_WATER_COMPONENTS,
     "tile_posterize": SQL_TILE_POSTERIZE,
+    "tile_isoline_cases": SQL_TILE_ISOLINE_CASES,
 }
