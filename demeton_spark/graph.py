@@ -59,27 +59,42 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint()
-    for it in range(max_iterations):
-        LAST_ROUNDS = it + 1
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("chg"),
+    # label/edge frames are tiny relative to the session's raster-tuned
+    # shuffle width, and AQE partition coalescing is deliberately off
+    # (session.py) — so at the default 64 partitions every CC round pays
+    # ~60 near-empty tasks per join.  Scope the loop's shuffles down;
+    # restore the session conf afterwards.
+    spark = nodes.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    spark.conf.set(
+        conf_key, str(min(int(prev_parts), 16) if prev_parts.isdigit() else 16)
+    )
+    try:
+        for it in range(max_iterations):
+            LAST_ROUNDS = it + 1
+            nbr_min = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        ).localCheckpoint()
-        changed = new_labels.where(F.col("chg")).count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                    (F.col("nbr_label") < F.col("label")).alias("chg"),
+                )
+            ).localCheckpoint()
+            changed = new_labels.where(F.col("chg")).count()
+            labels = new_labels.drop("chg")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(conf_key, prev_parts)
     sym.unpersist()
     return labels
 
