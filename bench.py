@@ -76,6 +76,7 @@ HEADLINE_QUERIES = [
     "knn_ivf_bucketed",
     "knn_ivf_recall",
     "emb_near_dup_pairs",
+    "emb_near_dup_recall",
     "embedding_label_stats",
 ]
 

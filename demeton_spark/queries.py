@@ -1465,37 +1465,217 @@ normed as (
 )
 
 
-def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates via random-hyperplane-style LSH:
-    vectors sharing the 8-bit sign-bucket of their leading dimensions are
-    candidates; exact cosine >= 0.4 confirms (the synthetic embeddings are near-orthogonal, so the threshold sits just under the max observed similarity).  The bucket equi-join
-    prunes the O(n²) cross product to same-bucket blocks — the scale
-    path for pairwise similarity over 10^9 embeddings."""
-    normed = _normed_emb(spark, sf_dir)
-    pairs = (
-        normed.alias("a")
-        .join(normed.alias("b"), on="bucket", how="inner")
+# --- multiband hyperplane LSH over embeddings -------------------------------
+#
+# 10 bands × 3 sign bits (dims 0..29 as the hyperplanes): a candidate
+# pair only needs one band's 3 sign bits to agree, so candidate
+# probability at cosine s is 1-(1-p³)^10 with p = 1-θ(s)/π — ≈0.91 at
+# s=0.3, ≈0.94 at s=0.4, →1 for true duplicates — versus p⁸ ≈ 0.03 for
+# the round-1 single 8-bit band.  Band length trades candidate volume
+# for recall: short bands cost more candidate pairs on near-uniform
+# data but stay output-sensitive on real clustered-duplicate corpora;
+# `emb_near_dup_recall` measures the operating point per bucket.
+
+_EMB_BANDS = 10
+_EMB_BAND_BITS = 3
+
+
+def _emb_band_rows(normed: DataFrame) -> DataFrame:
+    bands = []
+    for b in range(_EMB_BANDS):
+        bk = None
+        for j in range(_EMB_BAND_BITS):
+            i = b * _EMB_BAND_BITS + j
+            bit = F.when(F.col("v")[i] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bk = bit if bk is None else bk + bit
+        bands.append(
+            F.struct(F.lit(b).alias("band"), bk.cast("int").alias("bk"))
+        )
+    return normed.select(
+        "vec_id", F.explode(F.array(*bands)).alias("s")
+    ).select("vec_id", "s.band", "s.bk")
+
+
+def _emb_candidates(normed: DataFrame) -> DataFrame:
+    br = _emb_band_rows(normed)
+    return (
+        br.alias("a")
+        .join(br.alias("b"), on=["band", "bk"], how="inner")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+
+
+def _emb_verified(normed: DataFrame) -> DataFrame:
+    """Candidates + exact cosine from two equi-joins back to the
+    normalized vectors (vectors don't ride the 10-way band explosion)."""
+    cand = _emb_candidates(normed)
+    sa = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    sb = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
             F.round(
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.norm") * F.col("b.norm")),
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("norm_a") * F.col("norm_b")),
                 6,
             ).alias("cosine"),
         )
     )
-    return pairs.where(F.col("cosine") >= 0.4)
 
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates via multiband hyperplane LSH
+    (10 bands × 3 sign bits), exact-cosine verified at ≥ 0.4 (the
+    synthetic embeddings are near-orthogonal; the threshold sits just
+    under the max observed similarity).  The band equi-join prunes the
+    O(n²) cross product — the scale path for pairwise similarity over
+    10^9 embeddings; `emb_near_dup_recall` is the quality gate."""
+    normed = _normed_emb(spark, sf_dir).persist()
+    return _emb_verified(normed).where(F.col("cosine") >= 0.4)
+
+
+def _sql_emb_band_expr(b: int) -> str:
+    return " + ".join(
+        f"(case when embedding[{b * _EMB_BAND_BITS + j + 1}] > 0 "
+        f"then {1 << j} else 0 end)"
+        for j in range(_EMB_BAND_BITS)
+    )
+
+
+_SQL_EMB_BANDS = "\n  union all ".join(
+    f"select cast(vec_id as bigint) as vec_id, {b} as band, "
+    f"cast({_sql_emb_band_expr(b)} as int) as bk from embeddings"
+    for b in range(_EMB_BANDS)
+)
+
+_SQL_EMB_VERIFIED = f"""
+bands as (
+  {_SQL_EMB_BANDS}
+),
+cand as (
+  select distinct a.vec_id as vec_a, b.vec_id as vec_b
+  from bands a join bands b using (band, bk)
+  where a.vec_id < b.vec_id
+),
+verified as (
+  select c.vec_a, c.vec_b,
+         round(list_dot_product(na.v, nb.v) / (na.norm * nb.norm), 6)
+           as cosine
+  from cand c
+  join normed na on na.vec_id = c.vec_a
+  join normed nb on nb.vec_id = c.vec_b
+)"""
 
 SQL_EMB_NEAR_DUP_PAIRS = f"""
-with {_SQL_NORMED_EMB}
-select a.vec_id as vec_a, b.vec_id as vec_b,
-       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) as cosine
-from normed a join normed b on a.bucket = b.bucket
-where a.vec_id < b.vec_id
-  and round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.4
+with {_SQL_NORMED_EMB},
+{_SQL_EMB_VERIFIED}
+select vec_a, vec_b, cosine from verified where cosine >= 0.4
+"""
+
+_EMB_RECALL_SLICE = 500
+
+
+def q_emb_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation recall of the multiband hyperplane LSH vs
+    exact all-pairs cosine on a bounded vec_id slice, per similarity
+    bucket — the embedding twin of ``doc_near_dup_recall``.  Cosines
+    are identical doubles on both engines (same sequential dot-product
+    fold), so plain threshold comparisons are deterministic."""
+    normed = (
+        _normed_emb(spark, sf_dir)
+        .where(F.col("vec_id") < _EMB_RECALL_SLICE)
+        .persist()
+    )
+    sa = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    sb = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    exact = (
+        sa.crossJoin(sb)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+    cand = _emb_candidates(normed).withColumn("hit", F.lit(1))
+    bucket = F.when(F.col("cosine") >= 0.4, F.lit("c>=0.4")).otherwise(
+        F.lit("0.3<=c<0.4")
+    )
+    return (
+        exact.join(cand, on=["vec_a", "vec_b"], how="left")
+        .select(
+            bucket.alias("cosine_bucket"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        .groupBy("cosine_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum("hit").cast("bigint").alias("n_candidates"),
+            F.round(F.sum("hit") / F.count("*"), 6).alias("recall"),
+        )
+    )
+
+
+SQL_EMB_NEAR_DUP_RECALL = f"""
+with {_SQL_NORMED_EMB},
+bands as (
+  {_SQL_EMB_BANDS}
+),
+cand as (
+  select distinct a.vec_id as vec_a, b.vec_id as vec_b
+  from bands a join bands b using (band, bk)
+  where a.vec_id < b.vec_id
+),
+exact as (
+  select a.vec_id as vec_a, b.vec_id as vec_b,
+         round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) as cosine
+  from normed a cross join normed b
+  where a.vec_id < b.vec_id
+    and a.vec_id < {_EMB_RECALL_SLICE} and b.vec_id < {_EMB_RECALL_SLICE}
+    and round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
+),
+hits as (
+  select e.cosine,
+         case when c.vec_a is not null then 1 else 0 end as hit
+  from exact e
+  left join cand c on c.vec_a = e.vec_a and c.vec_b = e.vec_b
+)
+select case when cosine >= 0.4 then 'c>=0.4' else '0.3<=c<0.4' end
+         as cosine_bucket,
+       cast(count(*) as bigint) as n_exact,
+       cast(sum(hit) as bigint) as n_candidates,
+       round(cast(sum(hit) as double) / count(*), 6) as recall
+from hits
+group by 1
 """
 
 
@@ -2216,6 +2396,7 @@ QUERIES = {
     "knn_ivf_bucketed": q_knn_ivf_bucketed,
     "knn_ivf_recall": q_knn_ivf_recall,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "emb_near_dup_recall": q_emb_near_dup_recall,
     "embedding_label_stats": q_embedding_label_stats,
 }
 
@@ -2252,6 +2433,7 @@ ORACLES = {
     "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
     "knn_ivf_recall": SQL_KNN_IVF_RECALL,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
+    "emb_near_dup_recall": SQL_EMB_NEAR_DUP_RECALL,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     # raster contract queries (defined in __spark_entry__) whose synthetic
     # world DuckDB regenerates from generate_series

@@ -88,3 +88,17 @@ def test_plan_shapes(spark):
     assert "PushedFilters" in p1 and "l_shipdate" in p1.split("PushedFilters")[1][:200]
     p2 = plan_of(q_tile_metadata_join(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in p2 or "BroadcastExchange" in p2
+
+
+def test_emb_lsh_recall_gate(spark):
+    """Multiband hyperplane LSH must recover ≥0.85 of exact-cosine pairs
+    at c≥0.3 and ≥0.9 at c≥0.4 (was ~0.03 with the round-1 single
+    8-bit band)."""
+    from demeton_spark.queries import q_emb_near_dup_recall
+
+    rows = {
+        r["cosine_bucket"]: r
+        for r in q_emb_near_dup_recall(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows["0.3<=c<0.4"]["recall"] >= 0.85
+    assert rows["c>=0.4"]["recall"] >= 0.9
