@@ -1680,57 +1680,84 @@ group by 1
 
 
 def q_knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: the sign-bit bucket acts as the coarse quantizer;
-    each probe (vec_id < 5) scans only its own inverted list instead of
-    the full collection.  Approximate by construction (recall < 1 when
-    true neighbors land in other buckets) — the brute-force twin
-    ``knn_bruteforce`` is the exact baseline."""
+    """Multiband IVF ANN: the 10×3-bit hyperplane bands act as the
+    coarse quantizer, and each probe (vec_id < 5) scans the UNION of
+    its 10 inverted lists — multiprobe — then ranks candidates by exact
+    cosine (top-3).  Round 1 used ONE 8-bit sign bucket as the list
+    key; ``knn_ivf_recall`` exposed that as recall 0.0 on every probe
+    (true neighbors almost never agree in all 8 leading sign bits).
+    With the multiband lists each true neighbor only needs one 3-bit
+    band to agree (probability 1-(1-p³)^10), while each probe still
+    touches only same-bucket blocks — the output-sensitive 100-TB path.
+    """
     from pyspark.sql import Window
 
-    normed = _normed_emb(spark, sf_dir)
-    probes = normed.where(F.col("vec_id") < 5).select(
+    normed = _normed_emb(spark, sf_dir).persist()
+    bands = _emb_band_rows(normed)
+    probe_bands = bands.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "band", "bk"
+    )
+    cand = (
+        probe_bands.join(bands, on=["band", "bk"], how="inner")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qside = normed.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
-        "bucket",
+    )
+    nside = normed.select(
+        F.col("vec_id").alias("neighbor_id"), "v", "norm"
     )
     scored = (
-        probes.join(normed, on="bucket", how="inner")
-        .where(F.col("vec_id") != F.col("query_id"))
+        cand.join(qside, "query_id")
+        .join(nside, "neighbor_id")
         .select(
             "query_id",
-            "bucket",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+                _dot(F.col("qv"), F.col("v"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
-        .select(
-            "query_id", "bucket", "neighbor_id", "cosine", F.col("rank").cast("int")
-        )
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
 
 
 SQL_KNN_IVF_BUCKETED = f"""
 with {_SQL_NORMED_EMB},
+bands as (
+  {_SQL_EMB_BANDS}
+),
+cand as (
+  select distinct p.vec_id as query_id, b.vec_id as neighbor_id
+  from bands p join bands b using (band, bk)
+  where p.vec_id < 5 and b.vec_id <> p.vec_id
+),
 scored as (
-  select q.vec_id as query_id, q.bucket as bucket, n.vec_id as neighbor_id,
+  select c.query_id, c.neighbor_id,
     round(list_dot_product(q.v, n.v) / (q.norm * n.norm), 6) as cosine
-  from normed q join normed n on q.bucket = n.bucket
-  where q.vec_id < 5 and n.vec_id <> q.vec_id
+  from cand c
+  join normed q on q.vec_id = c.query_id
+  join normed n on n.vec_id = c.neighbor_id
 ),
 ranked as (
-  select query_id, bucket, neighbor_id, cosine,
+  select query_id, neighbor_id, cosine,
          row_number() over (partition by query_id
                             order by cosine desc, neighbor_id asc) as rank
   from scored
 )
-select query_id, bucket, neighbor_id, cosine, cast(rank as int) as rank
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
 from ranked where rank <= 3
 """
 

@@ -102,3 +102,14 @@ def test_emb_lsh_recall_gate(spark):
     }
     assert rows["0.3<=c<0.4"]["recall"] >= 0.85
     assert rows["c>=0.4"]["recall"] >= 0.9
+
+
+def test_ivf_recall_gate(spark):
+    """Multiband-IVF ANN must recover ≥2/3 of each probe's exact top-3
+    (round-1's single-bucket quantizer scored 0.0 on every probe)."""
+    from demeton_spark.queries import q_knn_ivf_recall
+
+    rows = q_knn_ivf_recall(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no probes"
+    for r in rows:
+        assert r["recall"] >= 2 / 3, (r["query_id"], r["recall"])
