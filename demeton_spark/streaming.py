@@ -490,3 +490,37 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_exact_dedup(images: DataFrame) -> DataFrame:
+    """Streaming exact image dedup by the input-hint ``phash`` column:
+    the first-seen row per phash passes through, every later duplicate
+    drops — across micro-batch boundaries, exactly once, resumable.
+
+    The streaming twin of ``image_phash_dedup``'s keep side (and the
+    §2.11 idempotent-import semantics): per-phash state is a single
+    tombstone boolean in the state store, so a 10^12-image incremental
+    ingest pays O(distinct phashes) state and never re-admits a
+    duplicate after restart.  Within one micro-batch the min image_id
+    wins (deterministic), so when arrival order respects image_id the
+    emitted set equals the batch keep list bit-for-bit.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        state.update((True,))
+        yield pdf.loc[[pdf["image_id"].idxmin()]]
+
+    return images.groupBy("phash").applyInPandasWithState(
+        dedup,
+        outputStructType=IMAGES_SCHEMA,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -289,3 +289,41 @@ def test_streaming_hillshade_clip_and_prefilter_match_batch(spark, tmp_path):
         assert codec.decode_rgba_png(bytes(got[k]["png"])).tobytes() == \
             codec.decode_rgba_png(bytes(batch[k]["png"])).tobytes()
         assert got[k]["shaded_px"] == batch[k]["shaded_px"]
+
+
+def test_streaming_exact_dedup_matches_batch_keep_list(spark, tmp_path):
+    """streaming_exact_dedup must emit exactly the batch keep list (min
+    image_id per phash) when winners arrive in the first micro-batch,
+    and must drop every later duplicate across batch boundaries."""
+    import pandas as pd
+
+    from demeton_spark.synth import WorldSpec, generate_images_pdf
+    import numpy as np
+
+    spec = WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=2, n_tiles_y=2, tile_size=60,
+        block_size=20, skew_factor=3, skew_every=2,
+    )
+    pdf = generate_images_pdf(spec, np.arange(spec.n_rows))
+    keep_ids = set(pdf.groupby("phash")["image_id"].min())
+    src = str(tmp_path / "dedup_stream")
+    winners = pdf[pdf["image_id"].isin(keep_ids)]
+    losers = pdf[~pdf["image_id"].isin(keep_ids)]
+    assert len(losers) > 0  # the skew knob actually made duplicates
+    schema = streaming.IMAGES_SCHEMA
+    spark.createDataFrame(winners, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(losers, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream_in = streaming.read_images_stream(spark, src, max_files_per_trigger=1)
+    got = streaming.run_to_memory(
+        streaming.streaming_exact_dedup(stream_in),
+        "stream_dedup",
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+    ).collect()
+    assert {r["image_id"] for r in got} == keep_ids
+    assert len(got) == len(keep_ids)  # one emission per phash, ever
