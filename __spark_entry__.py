@@ -26,8 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_hillshade_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end hillshade over the deterministic synthetic image table
-    (rows-only check; pixel parity is pinned in tests/test_engine_spark.py)."""
+    """End-to-end hillshade over the deterministic synthetic image
+    table.  The returned metadata + shaded/total pixel counts are
+    DuckDB-checked against the SQL-regenerated world (an opaque
+    elecolor base makes shaded_px = the non-missing count); pixel
+    VALUES are pinned in tests/test_engine_spark.py (byte parity vs
+    the untiled numpy oracle)."""
     from demeton_spark.engine import run_hillshade
     from demeton_spark.synth import WorldSpec, images_df
 
@@ -212,8 +216,11 @@ def _q_shade_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_hillshade_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon raster clip through the hillshade pipeline:
     tiles outside the polygon bbox prune before the shuffle, pixels
-    outside the polygon render transparent (rows-only; pixel parity vs
-    the clipped untiled oracle is pinned in tests/test_engine_spark.py)."""
+    outside the polygon render transparent.  DuckDB-checked: the oracle
+    reproduces the bbox cover rule AND the crossing-number PIP test
+    term-for-term over the regenerated world (identical IEEE doubles);
+    pixel parity vs the clipped untiled oracle is pinned in
+    tests/test_engine_spark.py."""
     from demeton_spark.engine import run_hillshade
     from demeton_spark.synth import WorldSpec, images_df
 

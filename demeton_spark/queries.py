@@ -2326,6 +2326,78 @@ group by root
 """
 
 
+# Flagship hillshade pipeline over the contract world: the query's
+# OUTPUT columns (tile metadata + shaded/total pixel counts) are all
+# SQL-derivable — with an opaque elecolor base under igor, a pixel is
+# shaded iff its height is non-missing, so shaded_px = per-tile
+# non-missing count over the regenerated world.  Pixel VALUES stay
+# pinned by tests (byte-parity vs the untiled numpy oracle).
+SQL_HILLSHADE_TILES = f"""
+with {_sql_synth_world()}
+select cast(tx as int) as tile_x, cast(ty as int) as tile_y,
+       'N' || lpad(cast(ty as varchar), 2, '0')
+           || 'E' || lpad(cast(tx as varchar), 3, '0') as tile_name,
+       cast({_CQ_TS} as int) as width, cast({_CQ_TS} as int) as height,
+       cast(count(case when h <> -32768 then 1 end) as bigint) as shaded_px,
+       cast({_CQ_TS * _CQ_TS} as bigint) as total_px
+from world
+group by tx, ty
+"""
+
+
+def _sql_pip_expr(px: str, py: str, verts) -> str:
+    """Crossing-number point-in-polygon as SQL, term-for-term the same
+    arithmetic as geometry.points_in_polygon (identical IEEE doubles on
+    both engines; no horizontal edges in the contract polygon, so the
+    x_at division is always well-defined)."""
+    def d(v: float) -> str:
+        # bare decimal literals parse as DECIMAL in DuckDB; force the
+        # IEEE double the numpy kernel uses
+        return f"cast({v!r} as double)"
+
+    terms = []
+    n = len(verts)
+    j = n - 1
+    for i in range(n):
+        xi, yi = verts[i]
+        xj, yj = verts[j]
+        terms.append(
+            f"(case when (({d(yi)} > {py}) <> ({d(yj)} > {py})) and "
+            f"({px} < (({d(xj)} - {d(xi)}) * ({py} - {d(yi)}) / "
+            f"({d(yj)} - {d(yi)}) + {d(xi)})) then 1 else 0 end)"
+        )
+        j = i
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+_CLIP_POLY = [(13.1, 45.1), (13.95, 45.5), (13.4, 45.95)]
+
+# Clipped flagship: tiles prune to the polygon's floor/ceil−1 bbox
+# cover, and a pixel is shaded iff non-missing AND its cell lon/lat
+# (gx/cpd, gy/cpd — the kernel's convention) passes the SAME
+# crossing-number test the engine evaluates per band.
+SQL_HILLSHADE_CLIP = f"""
+with {_sql_synth_world()}
+select cast(tx as int) as tile_x, cast(ty as int) as tile_y,
+       'N' || lpad(cast(ty as varchar), 2, '0')
+           || 'E' || lpad(cast(tx as varchar), 3, '0') as tile_name,
+       cast(count(case when h <> -32768 and
+             {_sql_pip_expr(
+                 f"(cast(gx as double) / {_CQ_TS})",
+                 f"(cast(gy as double) / {_CQ_TS})",
+                 _CLIP_POLY,
+             )}
+           then 1 end) as bigint) as shaded_px,
+       cast({_CQ_TS * _CQ_TS} as bigint) as total_px
+from world
+where tx >= floor({min(v[0] for v in _CLIP_POLY)!r})
+  and tx <= ceil({max(v[0] for v in _CLIP_POLY)!r}) - 1
+  and ty >= floor({min(v[1] for v in _CLIP_POLY)!r})
+  and ty <= ceil({max(v[1] for v in _CLIP_POLY)!r}) - 1
+group by tx, ty
+"""
+
+
 # Marching-squares case histogram over the contract world: corner
 # heights via three self-joins, case index = the same 4-bit corner code
 # the segment extractor uses (any missing corner → 0; uniform 0/15
@@ -2464,6 +2536,8 @@ ORACLES = {
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     # raster contract queries (defined in __spark_entry__) whose synthetic
     # world DuckDB regenerates from generate_series
+    "hillshade_tiles": SQL_HILLSHADE_TILES,
+    "hillshade_clip": SQL_HILLSHADE_CLIP,
     "pyramid_downsample": SQL_PYRAMID_DOWNSAMPLE,
     "water_components": SQL_WATER_COMPONENTS,
     "tile_posterize": SQL_TILE_POSTERIZE,
