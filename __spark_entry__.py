@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship spatial query on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
 the training-data-pipeline extras); ``oracle_sql()`` gives the DuckDB
-twin for each SQL-expressible query.  Engine-kernel queries (hillshade,
-pyramid downsample) are rows-only — their correctness gates live in
-``tests/`` against numpy oracles and the reference's golden constants.
+twin for each SQL-expressible query — including the raster queries,
+whose synthetic world DuckDB regenerates from generate_series.  The
+four remaining rows-only queries (isoline chains, XTH shade, projected
+raster, synth-images phash dedup) pin their correctness in ``tests/``
+against numpy oracles and the reference's golden constants.
 """
 
 from __future__ import annotations
