@@ -5,8 +5,8 @@
 the training-data-pipeline extras); ``oracle_sql()`` gives the DuckDB
 twin for each SQL-expressible query — including the raster queries,
 whose synthetic world DuckDB regenerates from generate_series.  The
-four remaining rows-only queries (isoline chains, XTH shade, projected
-raster, synth-images phash dedup) pin their correctness in ``tests/``
+three remaining rows-only queries (isoline chains, projected raster,
+synth-images phash dedup) pin their correctness in ``tests/``
 against numpy oracles and the reference's golden constants.
 """
 
@@ -122,8 +122,11 @@ def _q_tile_shade_xth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tile-shade lifecycle (§3.2): dem-with-water-bodies ETL packs
     synthetic heights + a water-class raster into XTH tiles, then the
     fixed pipeline (solid ∘ lambert ⊕ slope ⊕ igor ∘ water shaders)
-    shades them (rows-only; XTH/shader semantics pinned in
-    tests/test_water.py and tests/test_engine_spark.py)."""
+    shades them.  DuckDB-checked for completeness: the solid base means
+    every pixel must come out shaded (the reference's own
+    colors-all-pixels acceptance shape); XTH bit-packing and
+    water-shader pixel semantics stay pinned in tests/test_water.py
+    and tests/test_engine_spark.py."""
     from demeton_spark.engine import run_tile_shade
     from demeton_spark.water import build_xth_tiles
 

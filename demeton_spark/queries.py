@@ -2398,6 +2398,26 @@ group by tx, ty
 """
 
 
+# Tile-shade lifecycle completeness: the fixed pipeline starts from a
+# SOLID background (TileShadeCommand.fs:333-388), so every pixel of
+# every tile must come out shaded — the reference's own acceptance
+# shape ("elevation colorer colors all pixels").  The oracle checks
+# exactly that completeness plus tile naming; the XTH bit-packing and
+# water-shader semantics stay pinned by tests/test_water.py and
+# tests/test_engine_spark.py.
+SQL_TILE_SHADE_XTH = f"""
+select cast(tx as int) as tile_x, cast(ty as int) as tile_y,
+       'N' || lpad(cast(ty as varchar), 2, '0')
+           || 'E' || lpad(cast(tx as varchar), 3, '0') as tile_name,
+       cast({_CQ_TS * _CQ_TS} as bigint) as shaded_px,
+       cast({_CQ_TS * _CQ_TS} as bigint) as total_px
+from (select unnest(generate_series({_CQ_LON0},
+                                    {_CQ_LON0 + _CQ_NTX - 1})) as tx) a
+cross join (select unnest(generate_series({_CQ_LAT0},
+                                          {_CQ_LAT0 + _CQ_NTY - 1})) as ty) b
+"""
+
+
 # Marching-squares case histogram over the contract world: corner
 # heights via three self-joins, case index = the same 4-bit corner code
 # the segment extractor uses (any missing corner → 0; uniform 0/15
@@ -2538,6 +2558,7 @@ ORACLES = {
     # world DuckDB regenerates from generate_series
     "hillshade_tiles": SQL_HILLSHADE_TILES,
     "hillshade_clip": SQL_HILLSHADE_CLIP,
+    "tile_shade_xth": SQL_TILE_SHADE_XTH,
     "pyramid_downsample": SQL_PYRAMID_DOWNSAMPLE,
     "water_components": SQL_WATER_COMPONENTS,
     "tile_posterize": SQL_TILE_POSTERIZE,
