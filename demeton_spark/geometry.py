@@ -360,12 +360,19 @@ def polygon_self_intersects(vertices, tolerance: float = 1e-10):
     if len(verts) < 3:
         return "invalid"
     closed = verts + [verts[0]]
-    edges = [
-        (i, (closed[i], closed[i + 1]))
+    # Re-index AFTER dropping zero-length edges (repeated consecutive
+    # vertices): adjacency below is by position in the filtered ring, so
+    # a dropped edge must not leave a gap that makes crossing edges look
+    # like neighbors.
+    kept = [
+        (closed[i], closed[i + 1])
         for i in range(len(verts))
         if closed[i] != closed[i + 1]
     ]
+    edges = list(enumerate(kept))
     n_edges = len(edges)
+    if n_edges < 3:
+        return "invalid"
 
     def neighbors(i, j):
         d = abs(i - j)

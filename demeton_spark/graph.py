@@ -30,7 +30,8 @@ def connected_components(
     node_col: str = "node",
     edge_cols: tuple[str, str] = ("a", "b"),
     max_iterations: int = 25,
-    algorithm: str = "label",
+    algorithm: str = "auto",
+    star_after: int = 8,
 ) -> DataFrame:
     """Label every node with the min node id of its component.
 
@@ -39,9 +40,14 @@ def connected_components(
     derived here).  Returns ``(node, label)``.
 
     ``algorithm``:
-      - ``"label"`` (default) — min-label propagation, O(diameter)
-        rounds; right for the dense/low-diameter graphs the engine
-        builds (duplicate clusters, tile adjacency).
+      - ``"auto"`` (default) — min-label propagation for up to
+        ``star_after`` rounds (the common low-diameter case: duplicate
+        clusters, tile adjacency converge in a handful), then, if not
+        yet converged, contract nodes to their current labels and
+        finish with alternating-star — so a pathological high-diameter
+        graph costs O(star_after + log n) rounds, never O(diameter).
+      - ``"label"`` — pure min-label propagation, O(diameter) rounds
+        (capped at ``max_iterations``).
       - ``"star"`` — alternating large-star/small-star contraction
         (Kiveris et al., "Connected Components in MapReduce and
         Beyond"), O(log n) rounds; the scale path for chain- or
@@ -49,54 +55,91 @@ def connected_components(
     """
     if algorithm == "star":
         return _cc_star(nodes, edges, node_col, edge_cols, max_iterations)
-    if algorithm != "label":
+    if algorithm not in ("label", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    label_cap = (
+        max_iterations
+        if algorithm == "label"
+        else min(star_after, max_iterations)
+    )
     global LAST_ROUNDS
     ea, eb = edge_cols
-    sym = edges.select(F.col(ea).alias("src"), F.col(eb).alias("dst")).union(
-        edges.select(F.col(eb).alias("src"), F.col(ea).alias("dst"))
-    ).persist()
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).localCheckpoint()
     # label/edge frames are tiny relative to the session's raster-tuned
     # shuffle width, and AQE partition coalescing is deliberately off
     # (session.py) — so at the default 64 partitions every CC round pays
-    # ~60 near-empty tasks per join.  Scope the loop's shuffles down;
-    # restore the session conf afterwards.
-    spark = nodes.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(conf_key)
-    spark.conf.set(
-        conf_key, str(min(int(prev_parts), 16) if prev_parts.isdigit() else 16)
+    # ~60 near-empty tasks per join.  Scope the loop's shuffle width with
+    # EXPLICIT repartitions on the join/agg keys (Catalyst reuses a
+    # matching hash partitioning instead of re-exchanging) rather than
+    # flipping spark.sql.shuffle.partitions session-wide, which would
+    # leak to concurrent queries on a shared SparkSession.
+    p = 16
+    sym = (
+        edges.select(F.col(ea).alias("src"), F.col(eb).alias("dst"))
+        .union(edges.select(F.col(eb).alias("src"), F.col(ea).alias("dst")))
+        .repartition(p, "dst")
+        .persist()
     )
-    try:
-        for it in range(max_iterations):
-            LAST_ROUNDS = it + 1
-            nbr_min = (
-                sym.join(labels, sym.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
+    labels = (
+        nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("label")
+        )
+        .repartition(p, "node")
+        .localCheckpoint()
+    )
+    converged = False
+    for it in range(label_cap):
+        LAST_ROUNDS = it + 1
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .repartition(p, "src")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
-            new_labels = (
-                labels.join(nbr_min, labels.node == nbr_min.src, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("nbr_label"), F.col("label")),
-                    ).alias("label"),
-                    (F.col("nbr_label") < F.col("label")).alias("chg"),
-                )
-            ).localCheckpoint()
-            changed = new_labels.where(F.col("chg")).count()
-            labels = new_labels.drop("chg")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set(conf_key, prev_parts)
+            .repartition(p, "node")
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("chg")).count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            converged = True
+            break
+    if converged or algorithm == "label":
+        sym.unpersist()
+        return labels
+    # auto escape hatch: diameter exceeded star_after rounds.  Contract
+    # every node to its current label (labels are node ids within the
+    # same component, so component minima are preserved), finish the
+    # contracted graph with O(log n)-round alternating-star, then map
+    # the star labels back through the partial labeling.
+    label_rounds = LAST_ROUNDS
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    contracted = (
+        sym.join(la, "src")
+        .join(lb, "dst")
+        .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
     sym.unpersist()
-    return labels
+    lbl_nodes = labels.select(F.col("label").alias("node")).distinct()
+    star = _cc_star(lbl_nodes, contracted, "node", ("a", "b"), max_iterations)
+    LAST_ROUNDS += label_rounds
+    final = star.select(
+        F.col("node").alias("label"), F.col("label").alias("final")
+    )
+    return labels.join(final, "label").select(
+        "node", F.col("final").alias("label")
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:

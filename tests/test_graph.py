@@ -70,3 +70,25 @@ def test_star_beats_label_on_chain(spark):
 def test_star_isolated_nodes_self_label(spark):
     got, _ = _cc(spark, [5, 9, 11], [(9, 11)], "star")
     assert got == {5: 5, 9: 9, 11: 11} | {11: 9}
+
+
+def test_auto_bounded_rounds_on_chain(spark):
+    """The default (auto) path must not pay O(diameter) rounds: after
+    star_after label rounds it contracts and finishes with
+    alternating-star, so a 1000-node chain stays within
+    star_after + O(log n) total rounds and still labels correctly."""
+    n = 1000
+    nodes = list(range(n))
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got, rounds = _cc(spark, nodes, edges, "auto")
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 8 + 12  # star_after + ~log2 rounds + confirmation
+
+
+def test_auto_matches_label_on_random_graphs(spark):
+    rng = random.Random(31)
+    nodes = list(range(40))
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    want = _expected(nodes, edges)
+    got, _ = _cc(spark, nodes, edges, "auto")
+    assert got == want

@@ -123,6 +123,15 @@ POLYGONS = [
     ([(0, 0), (4, 0), (2, 0), (2, 3)], "intersecting"),
     # shared-y edges: exercises equal-y event ordering
     ([(0, 0), (2, 0), (2, 2), (4, 2), (4, 4), (0, 4)], "non_intersecting"),
+    # bowtie with a duplicated consecutive vertex: the zero-length edge
+    # is dropped, and adjacency must be decided on the FILTERED ring —
+    # with original-index adjacency the crossing edges look adjacent and
+    # the self-intersection is missed
+    ([(0, 0), (4, 4), (4, 4), (4, 0), (0, 4)], "intersecting"),
+    # simple square with a duplicated vertex stays simple
+    ([(0, 0), (4, 0), (4, 0), (4, 4), (0, 4)], "non_intersecting"),
+    # duplicate closing vertex (explicitly closed ring input)
+    ([(0, 0), (4, 4), (4, 0), (0, 4), (0, 0)], "intersecting"),
 ]
 
 
