@@ -3,11 +3,12 @@
 ``entry(spark)`` runs the flagship spatial query on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
 the training-data-pipeline extras); ``oracle_sql()`` gives the DuckDB
-twin for each SQL-expressible query — including the raster queries,
-whose synthetic world DuckDB regenerates from generate_series.  The
-three remaining rows-only queries (isoline chains, projected raster,
-synth-images phash dedup) pin their correctness in ``tests/``
-against numpy oracles and the reference's golden constants.
+twin for EVERY query — the raster queries' synthetic world is
+regenerated in SQL from generate_series (including the projected-raster
+shade geometry and the marching-squares segment/chain taxonomy), and
+the image-dedup query reads the same committed parquet fixture in both
+engines.  Pixel values additionally stay pinned in ``tests/`` against
+numpy oracles and the reference's golden constants.
 """
 
 from __future__ import annotations
@@ -110,12 +111,22 @@ def _synthetic_tiles(spark: SparkSession):
 
 
 def _q_tile_isolines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marching-squares isoline stats per tile (rows-only; geometry
-    properties are pinned in tests/test_isolines.py)."""
+    """Marching-squares isoline stats per tile.  DuckDB-checked
+    (queries.SQL_TILE_ISOLINES): the oracle regenerates every segment
+    from the case table with the same interpolation + degenerate-drop
+    rules and recovers the closed/clipped chain taxonomy as graph
+    components over tolerance-keyed endpoints; chain GEOMETRY stays
+    pinned in tests/test_isolines.py."""
+    from pyspark.sql import functions as F
+
     from demeton_spark.isolines import tile_isolines
 
     tiles, ts = _synthetic_tiles(spark)
-    return tile_isolines(tiles, ts, [550.0, 650.0])
+    out = tile_isolines(tiles, ts, [550.0, 650.0])
+    return out.select(
+        "tile_x", "tile_y", "level", "n_segments", "n_closed", "n_clipped",
+        F.round("total_len", 6).alias("total_len"),
+    )
 
 
 def _q_tile_shade_xth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,8 +212,12 @@ def _q_tile_posterize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_shade_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projected-raster shade command over the synthetic DEM tile table
-    (rows-only; pixel properties pinned in tests/test_render.py)."""
+    """Projected-raster shade command over the synthetic DEM tile table.
+    DuckDB-checked (queries.SQL_SHADE_RASTER): the oracle rebuilds the
+    Mercator MBR → raster-tile split → covering-DEM assignment from the
+    same literals and recounts shaded_px per pixel via the bilinear
+    4-corner NaN rule; pixel VALUES stay pinned in
+    tests/test_render.py."""
     from demeton_spark.geometry import MapScale
     from demeton_spark.render import render_shaded_raster
 

@@ -2040,7 +2040,7 @@ where a.doc_id < b.doc_id and bit_count(xor(a.phash, b.phash)) <= 2
 
 
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact image dedup on the input-hint ``phash`` column (rows-only).
+    """Exact image dedup on the input-hint ``phash`` column.
 
     The images table (BASELINE.json input_hint) carries a perceptual
     hash per row; the synthetic generator's land-tile skew duplicates
@@ -2049,23 +2049,18 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first image_id, count the copies.  At 10^12 images this is one
     hash-aggregate shuffle on an int64 key — the cheapest possible
     dedup pass, and the reason the input schema carries phash at all.
-    The synthetic world side scales as sqrt(sf) so benchmark timings
-    track the scale factor like every other headline query
-    (2×2 tiles at sf0.001 → 20×20 at sf0.1).
+    DuckDB-checked: the sf-scaled world is materialized to parquet
+    (synth.ensure_contract_images) and BOTH engines aggregate the same
+    rows; the generator (sha256-of-pixels phash, skew layout) stays
+    pinned by the codec/synth round-trip tests.
     """
-    import math
     import re
 
-    from demeton_spark.synth import WorldSpec, images_df
+    from demeton_spark.synth import ensure_contract_images
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.01
-    side = max(2, int(round(2 * math.sqrt(sf / 0.001))))
-    spec = WorldSpec(
-        lon0=13, lat0=45, n_tiles_x=side, n_tiles_y=side, tile_size=60,
-        block_size=20, skew_factor=3,
-    )
-    imgs = images_df(spark, spec)
+    imgs = spark.read.parquet(ensure_contract_images(spark, sf))
     return (
         imgs.groupBy("phash")
         .agg(
@@ -2074,6 +2069,15 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("phash", "keep_id", "copies")
     )
+
+
+SQL_IMAGE_PHASH_DEDUP = """
+select phash,
+       min(image_id) as keep_id,
+       cast(count(*) as int) as copies
+from read_parquet('/root/repo/data/synth_images/sf0.01/*.parquet')
+group by phash
+"""
 
 
 def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2477,6 +2481,225 @@ group by tx, ty, class_id
 """
 
 
+# Projected-raster shade command (__spark_entry__._q_shade_raster): the
+# whole driver-side geometry — Mercator MBR of the four coverage points,
+# 64-px raster-tile split, per-rect corner inversion (±1 px buffer) →
+# covering DEM tiles ∩ the available 2×2 world — is rebuilt in SQL from
+# the same literals, and shaded_px is recomputed per pixel: a pixel is
+# shaded iff its bilinear 4-corner neighborhood (floor/ceil of the
+# inverse-projected cell coords) lies inside the group's DEM mosaic with
+# all four corners non-missing (kernels.bilinear_interpolate NaN rule).
+# Pixel VALUES (Horn p/q on per-pixel geodesic grids, igor shading) stay
+# pinned by tests/test_render.py.
+_SR_PTS = [(13.2, 45.2), (14.8, 45.2), (13.2, 46.8), (14.8, 46.8)]
+_SR_PSF = "(6371000.0 / 5000000.0) * 39.3701 * 96"  # MapScale(5e6, 96)
+_SR_PX = 64
+
+SQL_SHADE_RASTER = f"""
+with {_sql_synth_world()},
+c as (select {_SR_PSF} as psf),
+pt as (select * from (values {", ".join(f"({lon!r}, {lat!r})" for lon, lat in _SR_PTS)}) v(lon, lat)),
+mbr as (
+  select cast(floor(min(radians(lon) * psf)) as bigint) as mnx,
+         cast(floor(min(ln(tan(pi()/4 + radians(lat)/2)) * psf)) as bigint) as mny,
+         cast(ceil(max(radians(lon) * psf)) as bigint) as mxx,
+         cast(ceil(max(ln(tan(pi()/4 + radians(lat)/2)) * psf)) as bigint) as mxy
+  from pt cross join c
+),
+grid as (
+  select xi, yi,
+         mnx + xi * {_SR_PX} as rx, mny + yi * {_SR_PX} as ry,
+         cast(least({_SR_PX}, mxx - (mnx + xi * {_SR_PX})) as int) as w,
+         cast(least({_SR_PX}, mxy - (mny + yi * {_SR_PX})) as int) as h
+  from mbr
+  cross join (select unnest(generate_series(0, 63)) as xi) gxi
+  cross join (select unnest(generate_series(0, 63)) as yi) gyi
+  where mnx + xi * {_SR_PX} < mxx and mny + yi * {_SR_PX} < mxy
+),
+cov as (
+  select g.*,
+    greatest(cast(floor(degrees((rx - 1) / psf)) as int), {_CQ_LON0}) as tx_lo,
+    least(cast(ceil(degrees((rx + w + 1) / psf)) as int) - 1,
+          {_CQ_LON0 + _CQ_NTX - 1}) as tx_hi,
+    greatest(cast(floor(degrees(2*atan(exp((ry - 1) / psf)) - pi()/2)) as int),
+             {_CQ_LAT0}) as ty_lo,
+    least(cast(ceil(degrees(2*atan(exp((ry + h + 1) / psf)) - pi()/2)) as int) - 1,
+          {_CQ_LAT0 + _CQ_NTY - 1}) as ty_hi
+  from grid g cross join c
+),
+rects as (
+  select xi, yi, rx, ry, w, h,
+         (tx_hi - tx_lo + 1) * (ty_hi - ty_lo + 1) as n_dem,
+         tx_lo * {_CQ_TS} as cx0, ty_lo * {_CQ_TS} as cy0,
+         (tx_hi - tx_lo + 1) * {_CQ_TS} as mw,
+         (ty_hi - ty_lo + 1) * {_CQ_TS} as mh
+  from cov
+  where tx_hi >= tx_lo and ty_hi >= ty_lo
+),
+px as (
+  select r.xi, r.yi,
+         degrees((r.rx + p.i) / psf) * {float(_CQ_TS)!r} - r.cx0 as x,
+         degrees(2*atan(exp((r.ry + q.i) / psf)) - pi()/2) * {float(_CQ_TS)!r}
+           - r.cy0 as y,
+         r.cx0, r.cy0, r.mw, r.mh
+  from rects r cross join c
+  cross join (select unnest(generate_series(0, {_SR_PX - 1})) as i) p
+  cross join (select unnest(generate_series(0, {_SR_PX - 1})) as i) q
+  where p.i < r.w and q.i < r.h
+),
+shaded as (
+  select xi, yi, count(*) as n
+  from px
+  where floor(x) >= 0 and floor(y) >= 0 and ceil(x) < mw and ceil(y) < mh
+    and exists (select 1 from world w1 where w1.gx = cast(floor(px.x) as int) + px.cx0
+                and w1.gy = cast(floor(px.y) as int) + px.cy0 and w1.h <> -32768)
+    and exists (select 1 from world w2 where w2.gx = cast(ceil(px.x) as int) + px.cx0
+                and w2.gy = cast(floor(px.y) as int) + px.cy0 and w2.h <> -32768)
+    and exists (select 1 from world w3 where w3.gx = cast(floor(px.x) as int) + px.cx0
+                and w3.gy = cast(ceil(px.y) as int) + px.cy0 and w3.h <> -32768)
+    and exists (select 1 from world w4 where w4.gx = cast(ceil(px.x) as int) + px.cx0
+                and w4.gy = cast(ceil(px.y) as int) + px.cy0 and w4.h <> -32768)
+  group by xi, yi
+)
+select cast(r.xi as int) as rt_x, cast(r.yi as int) as rt_y,
+       r.w as width, r.h as height,
+       cast(coalesce(s.n, 0) as bigint) as shaded_px,
+       cast(r.w * r.h as bigint) as total_px,
+       cast(r.n_dem as int) as n_dem_tiles
+from rects r left join shaded s on r.xi = s.xi and r.yi = s.yi
+"""
+
+
+# Marching-squares isoline stats (__spark_entry__._q_tile_isolines):
+# segments are regenerated per cell from the case table with the SAME
+# interpolation formula (isolines._CASES / _interp), degenerate
+# zero-length segments dropped by the same 1e-12 rule, and the chain
+# taxonomy is recovered graph-theoretically — endpoints keyed at the
+# chainer's 1e-9 tolerance, n_clipped = components containing an
+# odd-degree endpoint, n_closed = the rest (valid because every
+# endpoint has degree ≤ 2 here, which makes greedy chaining equal to
+# connected components; chain GEOMETRY stays pinned in
+# tests/test_isolines.py).
+_ISO_LEVELS = [550.0, 650.0]
+
+SQL_TILE_ISOLINES = f"""
+with recursive {_sql_synth_world()},
+levels as (select cast(v.l as double) as level
+           from (values {", ".join(f"({lv!r})" for lv in _ISO_LEVELS)}) v(l)),
+cells as (
+  select bl.tx, bl.ty, bl.lx as x, bl.ly as y, lv.level as level,
+         cast(bl.h as double) as bl, cast(br.h as double) as br,
+         cast(tr.h as double) as tr, cast(tl.h as double) as tl,
+         case when bl.h <> -32768 and br.h <> -32768
+               and tr.h <> -32768 and tl.h <> -32768
+              then (case when bl.h >= lv.level then 1 else 0 end)
+                 + (case when br.h >= lv.level then 2 else 0 end)
+                 + (case when tr.h >= lv.level then 4 else 0 end)
+                 + (case when tl.h >= lv.level then 8 else 0 end)
+              else 0 end as cid
+  from world bl
+  join world br on br.tx = bl.tx and br.ty = bl.ty
+               and br.lx = bl.lx + 1 and br.ly = bl.ly
+  join world tr on tr.tx = bl.tx and tr.ty = bl.ty
+               and tr.lx = bl.lx + 1 and tr.ly = bl.ly + 1
+  join world tl on tl.tx = bl.tx and tl.ty = bl.ty
+               and tl.lx = bl.lx and tl.ly = bl.ly + 1
+  cross join levels lv
+  where bl.lx < {_CQ_TS - 1} and bl.ly < {_CQ_TS - 1}
+),
+pairs as (
+  select * from (values
+    (1,3,0),(14,3,0),(2,0,1),(13,0,1),(4,1,2),(11,1,2),(8,2,3),(7,2,3),
+    (3,3,1),(12,3,1),(6,0,2),(9,0,2),(5,3,2),(5,1,0),(10,0,3),(10,2,1)
+  ) v(cid, ea, eb)
+),
+segs0 as (
+  select c.tx, c.ty, c.level,
+    least(greatest((c.level - c.bl) / (c.br - c.bl), 0.0), 1.0) as t0,
+    least(greatest((c.level - c.br) / (c.tr - c.br), 0.0), 1.0) as t1,
+    least(greatest((c.level - c.tl) / (c.tr - c.tl), 0.0), 1.0) as t2,
+    least(greatest((c.level - c.bl) / (c.tl - c.bl), 0.0), 1.0) as t3,
+    c.x, c.y, p.ea, p.eb
+  from cells c join pairs p on p.cid = c.cid
+),
+segs as (
+  select tx, ty, level,
+    case ea when 0 then x + t0 when 1 then x + 1.0
+            when 2 then x + t2 else cast(x as double) end as x0,
+    case ea when 0 then cast(y as double) when 1 then y + t1
+            when 2 then y + 1.0 else y + t3 end as y0,
+    case eb when 0 then x + t0 when 1 then x + 1.0
+            when 2 then x + t2 else cast(x as double) end as x1,
+    case eb when 0 then cast(y as double) when 1 then y + t1
+            when 2 then y + 1.0 else y + t3 end as y1
+  from segs0
+),
+live as (
+  select *, cast(round(x0 * 1e9) as bigint) as ka_x,
+            cast(round(y0 * 1e9) as bigint) as ka_y,
+            cast(round(x1 * 1e9) as bigint) as kb_x,
+            cast(round(y1 * 1e9) as bigint) as kb_y
+  from segs
+  where abs(x0 - x1) > 1e-12 or abs(y0 - y1) > 1e-12
+),
+nodes as (
+  select distinct tx, ty, level, ka_x as nx, ka_y as ny from live
+  union
+  select distinct tx, ty, level, kb_x, kb_y from live
+),
+deg as (
+  select tx, ty, level, nx, ny, count(*) as d from (
+    select tx, ty, level, ka_x as nx, ka_y as ny from live
+    union all
+    select tx, ty, level, kb_x, kb_y from live
+  ) group by all
+),
+edges as (
+  select tx, ty, level, ka_x as ax, ka_y as ay, kb_x as bx, kb_y as by_
+  from live
+  union all
+  select tx, ty, level, kb_x, kb_y, ka_x, ka_y from live
+),
+reach(tx, ty, level, nx, ny, rx, ry) as (
+  select tx, ty, level, nx, ny, nx, ny from nodes
+  union
+  select e.tx, e.ty, e.level, e.bx, e.by_, r.rx, r.ry
+  from reach r join edges e on e.tx = r.tx and e.ty = r.ty
+    and e.level = r.level and e.ax = r.nx and e.ay = r.ny
+),
+comp as (
+  select tx, ty, level, nx, ny,
+         min(cast(rx as hugeint) * 200000000000 + ry) as root
+  from reach group by tx, ty, level, nx, ny
+),
+chainstats as (
+  select c.tx, c.ty, c.level,
+         count(distinct c.root) as n_chains,
+         count(distinct case when d.d % 2 = 1 then c.root end) as n_paths
+  from comp c join deg d on d.tx = c.tx and d.ty = c.ty
+    and d.level = c.level and d.nx = c.nx and d.ny = c.ny
+  group by c.tx, c.ty, c.level
+),
+segstats as (
+  select tx, ty, level,
+         count(*) as n_segments,
+         round(sum(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))), 6)
+           as total_len
+  from live group by tx, ty, level
+)
+select cast(t.tx as int) as tile_x, cast(t.ty as int) as tile_y,
+       lv.level as level,
+       cast(coalesce(s.n_segments, 0) as bigint) as n_segments,
+       cast(coalesce(c.n_chains - c.n_paths, 0) as bigint) as n_closed,
+       cast(coalesce(c.n_paths, 0) as bigint) as n_clipped,
+       cast(coalesce(s.total_len, 0.0) as double) as total_len
+from (select distinct tx, ty from world) t
+cross join levels lv
+left join segstats s on s.tx = t.tx and s.ty = t.ty and s.level = lv.level
+left join chainstats c on c.tx = t.tx and c.ty = t.ty and c.level = lv.level
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2548,6 +2771,7 @@ ORACLES = {
     "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
+    "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
     "knn_ivf_recall": SQL_KNN_IVF_RECALL,
@@ -2563,4 +2787,6 @@ ORACLES = {
     "water_components": SQL_WATER_COMPONENTS,
     "tile_posterize": SQL_TILE_POSTERIZE,
     "tile_isoline_cases": SQL_TILE_ISOLINE_CASES,
+    "tile_isolines": SQL_TILE_ISOLINES,
+    "shade_raster": SQL_SHADE_RASTER,
 }

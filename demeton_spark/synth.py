@@ -196,6 +196,38 @@ def images_df(spark, spec: WorldSpec, num_partitions: int | None = None):
     )
 
 
+def contract_spec_for_sf(sf: float) -> WorldSpec:
+    """The sf-scaled synthetic-images world used by the image contract
+    queries: side grows with sqrt(sf) so row counts track the scale
+    factor like the parquet tables (2×2 tiles at sf0.001 → 20×20 at
+    sf0.1), with the land-tile skew knob on (duplicate rows under fresh
+    image_ids — the dedup workload)."""
+    import math
+
+    side = max(2, int(round(2 * math.sqrt(sf / 0.001))))
+    return WorldSpec(
+        lon0=13, lat0=45, n_tiles_x=side, n_tiles_y=side, tile_size=60,
+        block_size=20, skew_factor=3,
+    )
+
+
+def ensure_contract_images(spark, sf: float) -> str:
+    """Materialize (once) the sf-scaled contract images table as parquet
+    and return its path.  Both the Spark contract queries and their
+    DuckDB oracles read THIS file, so the dedup aggregation is checked
+    over identical rows; the generator itself stays pinned by the
+    codec round-trip tests.  The sf0.01 fixture is committed to the
+    repo (deterministic), other SFs materialize on first use."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "data", "synth_images", f"sf{sf}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spec = contract_spec_for_sf(sf)
+        images_df(spark, spec).write.mode("overwrite").parquet(path)
+    return path
+
+
 def expected_tile_heights(spec: WorldSpec, tx: int, ty: int) -> np.ndarray:
     """Oracle: the fully assembled tile, computed single-node in numpy."""
     min_cx, min_cy = tile_min_cell(spec.tile_size, tx, ty)
