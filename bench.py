@@ -63,6 +63,7 @@ HEADLINE_QUERIES = [
     "doc_minhash",
     "doc_near_dup_pairs",
     "doc_near_dup_recall",
+    "doc_dedup_clusters",
     "doc_dedup_keep_best",
     "doc_token_stats",
     "doc_lang_quality",
@@ -108,6 +109,7 @@ def run_hillshade_bench(spark, spec: WorldSpec, images_path: str,
     driver — at scale the sink is a distributed write)."""
     from pyspark.sql import functions as F
 
+    from demeton_spark import codec
     from demeton_spark.engine import run_hillshade
 
     images = spark.read.parquet(images_path)
@@ -121,7 +123,7 @@ def run_hillshade_bench(spark, spec: WorldSpec, images_path: str,
             shade_partitions=spec.n_tiles_x * spec.n_tiles_y,
             # throughput metric: fast deflate for the bench sink only —
             # persisted job output defaults to the reference's level 6
-            png_level=1,
+            png_level=codec.RGBA_PNG_LEVEL_FAST,
         )
         trial_agg = shaded.agg(
             F.count("*").alias("tiles"),
@@ -142,9 +144,10 @@ def run_hillshade_bench(spark, spec: WorldSpec, images_path: str,
 
 
 def _stage_totals(spark) -> dict:
-    """Aggregate executor metrics over every completed stage (REST API):
-    the data that attributes sub-linear scaling to compute-time
-    inflation (memory-bandwidth/steal contention) vs idle/skew."""
+    """Aggregate executor metrics over every completed stage (REST API).
+    Callers snapshot before/after the timed work and report the DELTA so
+    setup stages (synth-table generation, warmup trials) do not bias the
+    attribution (ADVICE r2)."""
     import json as _json
     import urllib.request
 
@@ -195,9 +198,12 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
     )
     try:
         images_path = ensure_synth_table(spark, spec, sf)
+        pre = _stage_totals(spark) if stage_metrics else {}
         hs = run_hillshade_bench(spark, spec, images_path, trials=trials)
         if stage_metrics:
-            hs = {**hs, **_stage_totals(spark)}
+            post = _stage_totals(spark)
+            hs = {**hs, **{k: round(post[k] - pre.get(k, 0), 1)
+                           for k in post}}
         queries: dict[str, float] = {"hillshade": hs["sec"]}
         if include_queries:
             from demeton_spark.queries import QUERIES

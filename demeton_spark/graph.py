@@ -64,14 +64,14 @@ def connected_components(
     )
     global LAST_ROUNDS
     ea, eb = edge_cols
-    # label/edge frames are tiny relative to the session's raster-tuned
-    # shuffle width, and AQE partition coalescing is deliberately off
-    # (session.py) — so at the default 64 partitions every CC round pays
-    # ~60 near-empty tasks per join.  Scope the loop's shuffle width with
-    # EXPLICIT repartitions on the join/agg keys (Catalyst reuses a
-    # matching hash partitioning instead of re-exchanging) rather than
-    # flipping spark.sql.shuffle.partitions session-wide, which would
-    # leak to concurrent queries on a shared SparkSession.
+    # Narrow the loop's width by repartitioning the INPUTS once, not by
+    # flipping spark.sql.shuffle.partitions (that leaks to concurrent
+    # queries on a shared SparkSession — ADVICE r2) and not by
+    # repartitioning between the join and the groupBy (that forfeits
+    # map-side partial aggregation and reshuffles the full edge list
+    # every round).  sym is persist()ed — InMemoryRelation preserves the
+    # hash partitioning, so the per-round join reuses it with ZERO
+    # exchange on the big side; labels co-partitions on the same width.
     p = 16
     sym = (
         edges.select(F.col(ea).alias("src"), F.col(eb).alias("dst"))
@@ -91,7 +91,6 @@ def connected_components(
         LAST_ROUNDS = it + 1
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
-            .repartition(p, "src")
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -105,7 +104,6 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
-            .repartition(p, "node")
         ).localCheckpoint()
         changed = new_labels.where(F.col("chg")).count()
         labels = new_labels.drop("chg")
@@ -129,6 +127,7 @@ def connected_components(
         .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     sym.unpersist()
     lbl_nodes = labels.select(F.col("label").alias("node")).distinct()

@@ -2,18 +2,20 @@
 extract / frame-sample over opaque ``binary`` payloads with typed
 metadata — all Arrow-batched ``mapInPandas``, no per-row Python UDFs.
 
-The image formats the engine owns (``png16`` 16-bit grayscale PNG,
-``hgt`` big-endian int16 — the reference's two DEM encodings,
-/root/reference/Demeton/Srtm/Png.fs:29-70 and Dem/Hgt.fs:14-92 — and
-``tiff`` uncompressed gray16, the AW3D GeoTIFF shape,
-Aw3d/Funcs.fs:180-261) decode for real through
-:mod:`demeton_spark.codec`.  Lossy consumer formats
-(jpeg/webp) and audio/video codecs have no decoder library in this
-environment: their decode paths are STUBS — ``jpeg``/``webp`` produce a
-deterministic fake raster derived from the payload hash (clearly marked,
-stable across runs so the downstream plumbing is testable), and audio
-raises ``NotImplementedError``.  The Spark-side contract — schemas,
-batch shapes, quarantine routing, partitioning — is real and tested.
+The image formats the engine owns decode for real: ``png16`` 16-bit
+grayscale PNG and ``hgt`` big-endian int16 (the reference's two DEM
+encodings, /root/reference/Demeton/Srtm/Png.fs:29-70 and
+Dem/Hgt.fs:14-92), ``tiff`` gray16 (the AW3D GeoTIFF shape,
+Aw3d/Funcs.fs:180-261) via :mod:`demeton_spark.codec`, and baseline
+``jpeg`` via the from-scratch pure-numpy codec in
+:mod:`demeton_spark.jpeg` (mirroring the reference's from-scratch PNG
+ethos, Png/Chunks.fs:21-213).  Only ``webp`` and audio/video codecs
+remain stubbed — no decoder library exists in this environment: webp
+produces a deterministic fake raster derived from the payload hash
+(clearly marked, stable across runs so the downstream plumbing is
+testable), and audio raises ``NotImplementedError``.  The Spark-side
+contract — schemas, batch shapes, quarantine routing, partitioning —
+is real and tested.
 
 ``verify_images`` implements the per-row invariant from the build
 target: decoded pixels must hash to the row's ``phash`` (allclose/
@@ -39,15 +41,29 @@ DECODED_SCHEMA = (
 
 
 def _decode_payload(fmt: str, payload: bytes, w: int, h: int) -> np.ndarray:
-    """Binary → int16 (h, w) block.  Real for png16/hgt; deterministic
-    FAKE for jpeg/webp (no decoder in this container — do not ship)."""
+    """Binary → int16 (h, w) block.  Real for png16/hgt/tiff/jpeg
+    (baseline JPEG decoded from scratch, :mod:`demeton_spark.jpeg`);
+    deterministic FAKE for webp only (no decoder in this container —
+    do not ship).  Corrupt payloads raise ``ValueError`` → the
+    ``on_error='skip'`` quarantine path."""
     if fmt == "png16":
         return codec.decode_heights_png(bytes(payload))
     if fmt == "hgt":
         return codec.decode_hgt(bytes(payload), w)
     if fmt == "tiff":
         return codec.decode_tiff_gray16(bytes(payload))
-    if fmt in ("jpeg", "webp"):
+    if fmt == "jpeg":
+        from . import jpeg
+
+        decoded = jpeg.decode_jpeg(bytes(payload))
+        if decoded.ndim == 3:  # color → luma (the engine's rasters are gray)
+            decoded = np.round(
+                0.299 * decoded[..., 0]
+                + 0.587 * decoded[..., 1]
+                + 0.114 * decoded[..., 2]
+            )
+        return decoded.astype(np.int16)
+    if fmt == "webp":
         # STUB: derive a stable pseudo-raster from the payload digest so
         # downstream stages (resize, features) exercise real shapes.
         seed = int.from_bytes(
@@ -75,7 +91,9 @@ def decode_images(
             for r in pdf.itertuples():
                 try:
                     block = _decode_payload(r.fmt, r.bytes, int(r.w), int(r.h))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # unknown format or corrupt payload: at 10^12-row
+                    # scale one poison row must not kill the job
                     if on_error == "skip":
                         continue
                     raise

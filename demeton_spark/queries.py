@@ -794,9 +794,12 @@ def q_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-heavy corpora where even the verified output is quadratic,
     the linear-output form of this operator is ``doc_dedup_clusters``.
     """
-    # persist: sig feeds both band-explosion sides and both verify joins;
-    # without the barrier Catalyst re-runs the explode+agg per consumer
-    sig = _doc_signatures(spark, sf_dir).persist()
+    # barrier: sig feeds both band-explosion sides and both verify joins;
+    # without it Catalyst re-runs the explode+agg per consumer.
+    # localCheckpoint (not persist): eager, lineage-cut, and released by
+    # GC when the frame goes unreachable — a long-lived session running
+    # many queries does not accumulate CacheManager entries (ADVICE r2).
+    sig = _doc_signatures(spark, sf_dir).localCheckpoint()
     pairs = _verified_pairs(sig, "hwords")
     u = F.col("na") + F.col("nb") - F.col("i")
     return pairs.where(F.lit(2) * F.col("i") >= u).select(
@@ -881,7 +884,7 @@ def q_doc_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         _doc_signatures(spark, sf_dir)
         .where(F.col("doc_id") < _RECALL_SLICE)
-        .persist()
+        .localCheckpoint()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hwords").alias("wa"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hwords").alias("wb"))
@@ -955,6 +958,34 @@ group by 1
 """
 
 
+#: materialized cluster assignments per (application, sf_dir) — the
+#: local stand-in for the written clusters table a production pipeline
+#: materializes once and every downstream consumer reads (VERDICT r2:
+#: without it, doc_dedup_keep_best re-derives the whole LSH + CC
+#: pipeline that doc_dedup_clusters just computed)
+_CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dedup_clusters_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CLUSTER_MEMO.get(key)
+    if df is None:
+        from .graph import connected_components
+
+        pairs = q_doc_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("bigint").alias("doc")
+        )
+        labels = connected_components(docs, pairs, "doc", ("doc_a", "doc_b"))
+        df = labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        ).localCheckpoint()
+        _CLUSTER_MEMO[key] = df
+        if len(_CLUSTER_MEMO) > 8:  # bound driver references across sessions
+            _CLUSTER_MEMO.pop(next(iter(_CLUSTER_MEMO)))
+    return df
+
+
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the near-dup graph (jaccard >= 0.5):
     every doc labeled with the min doc_id of its component.
@@ -962,21 +993,15 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The linear-output companion of ``doc_near_dup_pairs``: on
     duplicate-heavy corpora the pair list is quadratic but the cluster
     assignment stays one row per doc.  Iterative min-label propagation
-    (driver loop over joins, ``localCheckpoint`` per round to cut
-    lineage) — the Spark shape of the reference's flood-fill component
+    with an alternating-star escape hatch (graph.connected_components
+    "auto") — the Spark shape of the reference's flood-fill component
     labeling (/root/reference/Demeton/WaterBodies/Coloring.fs:17-182),
-    applied to a similarity graph instead of a pixel grid.
+    applied to a similarity graph instead of a pixel grid.  The
+    assignment is localCheckpoint-materialized once per (session,
+    sf_dir) — the local stand-in for the clusters table a production
+    dedup pipeline writes once and reads everywhere.
     """
-    from .graph import connected_components
-
-    pairs = q_doc_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("bigint").alias("doc")
-    )
-    labels = connected_components(docs, pairs, "doc", ("doc_a", "doc_b"))
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return _dedup_clusters_materialized(spark, sf_dir)
 
 
 SQL_DOC_DEDUP_CLUSTERS = f"""
@@ -1004,8 +1029,10 @@ def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster with the canonical document to KEEP — highest quality score
     (lexical diversity), doc_id as the deterministic tie-break — plus
     the cluster size.  Composes two oracle-checked queries
-    (``doc_dedup_clusters`` × ``doc_lang_quality``), so at 10^12 docs
-    it is one extra hash-aggregate over the cluster assignment.
+    (``doc_dedup_clusters`` × ``doc_lang_quality``) over the
+    MATERIALIZED cluster assignment (see ``_dedup_clusters_materialized``),
+    so it really is one extra hash-aggregate: at 10^12 docs the cluster
+    table is written once and this query reads it.
     """
     clusters = q_doc_dedup_clusters(spark, sf_dir)
     quality = q_doc_lang_quality(spark, sf_dir).select("doc_id", "quality")
@@ -1135,7 +1162,7 @@ def q_doc_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct("sh")).alias("s")
     ).select("doc_id", _word_hash(F.col("s"), 0).alias("h"))
     # same multi-band machinery as doc_near_dup_pairs, over shingle hashes
-    sig = _minhash_signatures(exploded, "hsh").persist()
+    sig = _minhash_signatures(exploded, "hsh").localCheckpoint()
     pairs = _verified_pairs(sig, "hsh")
     u = F.col("na") + F.col("nb") - F.col("i")
     return pairs.where(F.lit(2) * F.col("i") >= u).select(
@@ -1546,7 +1573,7 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the max observed similarity).  The band equi-join prunes the
     O(n²) cross product — the scale path for pairwise similarity over
     10^9 embeddings; `emb_near_dup_recall` is the quality gate."""
-    normed = _normed_emb(spark, sf_dir).persist()
+    normed = _normed_emb(spark, sf_dir).localCheckpoint()
     return _emb_verified(normed).where(F.col("cosine") >= 0.4)
 
 
@@ -1600,7 +1627,7 @@ def q_emb_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = (
         _normed_emb(spark, sf_dir)
         .where(F.col("vec_id") < _EMB_RECALL_SLICE)
-        .persist()
+        .localCheckpoint()
     )
     sa = normed.select(
         F.col("vec_id").alias("vec_a"),
@@ -1692,7 +1719,7 @@ def q_knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    normed = _normed_emb(spark, sf_dir).persist()
+    normed = _normed_emb(spark, sf_dir).localCheckpoint()
     bands = _emb_band_rows(normed)
     probe_bands = bands.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "band", "bk"
@@ -1953,18 +1980,52 @@ def _hamming_band_pairs(
     )
 
 
-def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 2) -> DataFrame:
+def phash_bands_for_corpus(n_rows: int, max_hamming: int) -> tuple[int, int]:
+    """Choose (n_bands, band_bits) for a 64-bit Hamming banding from the
+    corpus size.
+
+    Completeness needs ``max_hamming < n_bands`` (pigeonhole: a pair
+    differing in h bits contaminates at most h bands).  COST scales with
+    the band-bucket occupancy: with b-bit keys a corpus of n rows puts
+    ~n/2^b rows in each of the 2^b buckets per band, and the bucket
+    equi-join does ~n_bands · n²/2^b comparisons — so band_bits must
+    GROW with the corpus.  16×4 keeps the explosion cheapest while
+    buckets stay small (≤10^6 rows: ≤6·10^4 rows/bucket); 8×8 is the
+    production default beyond (10^9 rows: ~4·10^6 rows/bucket, and the
+    8× fewer exploded rows cut the shuffle in half).  Both settings are
+    complete for ``max_hamming < 8``.
+    """
+    if max_hamming >= 8:
+        raise ValueError("max_hamming must stay below the band count (8)")
+    return (16, 4) if n_rows <= 1_000_000 else (8, 8)
+
+
+def phash_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 2,
+    corpus_rows: int | None = None,
+) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash Hamming distance.
 
     The production operator over the Iceberg images table
-    (BASELINE.json input_hint: ``phash:int64``): 16 bands × 4 bits
-    cover the full signed int64, so any pair within ``max_hamming``
-    (< 16) is guaranteed a clean shared band.  Arithmetic shiftright +
-    mask extracts identical band keys for negative hashes in Spark and
-    DuckDB alike.  Returns (image_id_a, image_id_b, hamming).
+    (BASELINE.json input_hint: ``phash:int64``).  Band layout is chosen
+    from the corpus size (``phash_bands_for_corpus``): n_bands ×
+    band_bits always covers the full signed int64 and keeps
+    ``max_hamming < n_bands``, so any qualifying pair is guaranteed a
+    clean shared band (complete, not approximate).  Arithmetic
+    shiftright + mask extracts identical band keys for negative hashes
+    in Spark and DuckDB alike.  Pass ``corpus_rows`` (e.g. from table
+    metadata) to pick the scale-appropriate layout without a count
+    job; default assumes the small-corpus 16×4 layout.
+    Returns (image_id_a, image_id_b, hamming).
     """
+    n_bands, band_bits = phash_bands_for_corpus(
+        corpus_rows if corpus_rows is not None else 0, max_hamming
+    )
     sig = images.select("image_id", "phash")
-    out = _hamming_band_pairs(sig, "image_id", "phash", 16, 4, max_hamming)
+    out = _hamming_band_pairs(
+        sig, "image_id", "phash", n_bands, band_bits, max_hamming
+    )
     return out.select(
         F.col("image_id_a"), F.col("image_id_b"), F.col("hamming")
     )

@@ -67,17 +67,18 @@ def test_image_features(spark, images):
 
 def test_fake_format_stub_and_quarantine(spark):
     rows = [
-        ("a", bytearray(b"\x01\x02"), 4, 4, "jpeg", "x", 0),
+        ("a", bytearray(b"\x01\x02"), 4, 4, "webp", "x", 0),
         ("b", bytearray(b"\x01\x02"), 4, 4, "flac", "x", 0),
+        ("c", bytearray(b"\x01\x02"), 4, 4, "jpeg", "x", 0),  # corrupt
     ]
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
     )
-    # unknown format raises through by default…
+    # unknown format / corrupt jpeg raise through by default…
     with pytest.raises(Exception):
         multimodal.decode_images(df).collect()
-    # …and is skippable (quarantine-style); the jpeg STUB decodes
-    # deterministically
+    # …and are skippable (quarantine-style); the webp STUB decodes
+    # deterministically (jpeg now decodes for real — tests/test_jpeg.py)
     ok = multimodal.decode_images(df, on_error="skip").collect()
     assert [r["image_id"] for r in ok] == ["a"]
     again = multimodal.decode_images(df, on_error="skip").collect()
@@ -143,3 +144,55 @@ def test_phash_near_dup_matches_bruteforce(spark):
             expect.add((a, b, d))
     assert got == expect
     assert len(expect) >= 6  # every group's orig<->flip1 pair at least
+
+
+def test_phash_banding_complete_under_both_layouts(spark):
+    """Completeness holds under BOTH corpus-scaled band layouts
+    (16x4 small-corpus, 8x8 production): every pair at hamming <= h is
+    found because h < n_bands leaves a clean shared band (pigeonhole).
+    Exercises h up to 5 with planted multi-bit flips that straddle band
+    boundaries."""
+    import itertools
+
+    from demeton_spark.queries import (
+        phash_bands_for_corpus,
+        phash_near_dup_pairs,
+    )
+
+    assert phash_bands_for_corpus(10**6, 2) == (16, 4)
+    assert phash_bands_for_corpus(10**6 + 1, 2) == (8, 8)
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(-(2**62), 2**62, size=4, dtype=np.int64)
+    rows = []
+    for g, b in enumerate(base):
+        rows.append((f"g{g}_orig", int(b)))
+        for k in (1, 3, 5):  # k-bit flips, positions crossing 4/8-bit bands
+            v = int(b)
+            for p in rng.choice(64, size=k, replace=False):
+                v ^= 1 << int(p)
+                v = (v + 2**63) % 2**64 - 2**63  # keep signed-int64 range
+            rows.append((f"g{g}_flip{k}", v))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    expect = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 5:
+            a, b = sorted((ia, ib))
+            expect.add((a, b, d))
+    for corpus in (10**6, 10**7):  # 16x4 and 8x8 layouts
+        got = {
+            (r["image_id_a"], r["image_id_b"], r["hamming"])
+            for r in phash_near_dup_pairs(
+                df, max_hamming=5, corpus_rows=corpus
+            ).collect()
+        }
+        assert got == expect, f"corpus={corpus}"
+    assert len(expect) >= 12
+
+
+def test_phash_bands_reject_incomplete_hamming():
+    from demeton_spark.queries import phash_bands_for_corpus
+
+    with pytest.raises(ValueError):
+        phash_bands_for_corpus(100, 8)
