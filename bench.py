@@ -69,6 +69,7 @@ HEADLINE_QUERIES = [
     "doc_lang_quality",
     "doc_simhash",
     "doc_simhash_near_dup",
+    "doc_simhash_recall",
     "image_phash_dedup",
     "image_phash_near_dup",
     "doc_fingerprint",

@@ -302,10 +302,107 @@ _TIFF_TAGS = {
     277: "samples_per_pixel", 317: "predictor", 339: "sample_format",
 }
 
-#: TIFF compression codes we read: none, Adobe deflate, legacy deflate
+#: TIFF compression codes we read: none, LZW, Adobe deflate, legacy deflate
 _TIFF_COMPRESSION_NONE = 1
+_TIFF_COMPRESSION_LZW = 5
 _TIFF_COMPRESSION_DEFLATE = 8
 _TIFF_COMPRESSION_DEFLATE_OLD = 32946
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9→12-bit
+    codes with EARLY CHANGE (width bumps when the table reaches
+    2^width − 1, one code earlier than vanilla LZW), ClearCode 256,
+    EOI 257."""
+    bits = int.from_bytes(data, "big")
+    total = len(data) * 8
+    pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    out = bytearray()
+    while pos + width <= total:
+        code = (bits >> (total - pos - width)) & ((1 << width) - 1)
+        pos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if not table or code >= len(table):
+                raise ValueError("LZW stream must start with ClearCode")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        # early change, shifted one further because the decoder's table
+        # lags the encoder's by exactly one entry: the encoder bumps
+        # after ADDING code 2^w-2 (its next_code hits 2^w-1), which is
+        # the moment this table holds 2^w-2 entries
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Inverse of :func:`_lzw_decode` (same early-change variant)."""
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+        acc &= (1 << nacc) - 1
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    width = 9
+    emit(_LZW_CLEAR, width)
+    table = fresh()
+    next_code = 258
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes([b])
+        if next_code >= 4094:  # table full: restart (TIFF 6.0 §13)
+            emit(table[w], width)
+            emit(_LZW_CLEAR, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+            w = b""
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
 
 
 def decode_tiff_gray16(
@@ -318,10 +415,12 @@ def decode_tiff_gray16(
     north-first in the file and land in reverse row order; half-width
     (high-latitude) tiles duplicate each column when
     ``duplicate_to_width`` is given.  Both endiannesses supported.
-    Compression: none (1) and deflate strips (8 / legacy 32946, the
-    scheme real AW3D/GDAL tiles ship with) with optional horizontal-
-    differencing predictor 2 (per-row 16-bit sample deltas, undone by a
-    wrapping cumulative sum).  Other schemes are rejected.
+    Compression: none (1), LZW strips (5, the common wild-TIFF scheme;
+    TIFF 6.0 early-change variant), and deflate strips (8 / legacy
+    32946, the scheme real AW3D/GDAL tiles ship with) — each with
+    optional horizontal-differencing predictor 2 (per-row 16-bit sample
+    deltas, undone by a wrapping cumulative sum).  Other schemes are
+    rejected.
     """
     if data[:2] == b"II":
         bo = "<"
@@ -354,6 +453,7 @@ def decode_tiff_gray16(
     compression = tags.get("compression", [_TIFF_COMPRESSION_NONE])[0]
     if compression not in (
         _TIFF_COMPRESSION_NONE,
+        _TIFF_COMPRESSION_LZW,
         _TIFF_COMPRESSION_DEFLATE,
         _TIFF_COMPRESSION_DEFLATE_OLD,
     ):
@@ -372,6 +472,9 @@ def decode_tiff_gray16(
         n_rows = min(rows_per_strip, h - si * rows_per_strip)
         if compression == _TIFF_COMPRESSION_NONE:
             strip = np.frombuffer(data, dt, n_rows * w, off)
+        elif compression == _TIFF_COMPRESSION_LZW:
+            raw = _lzw_decode(data[off : off + strip_counts[si]])
+            strip = np.frombuffer(raw, dt, n_rows * w)
         else:
             raw = zlib.decompress(data[off : off + strip_counts[si]])
             strip = np.frombuffer(raw, dt, n_rows * w)
@@ -401,9 +504,9 @@ def encode_tiff_gray16(
 ) -> bytes:
     """Minimal little-endian int16 TIFF (one strip), rows north-first —
     the inverse of :func:`decode_tiff_gray16` for tests and sinks.
-    ``compression`` 1 (none) or 8 (deflate); ``predictor`` 2 applies
-    per-row horizontal differencing before deflate (the layout GDAL
-    writes for AW3D-style tiles)."""
+    ``compression`` 1 (none), 5 (LZW) or 8 (deflate); ``predictor`` 2
+    applies per-row horizontal differencing before compression (the
+    layout GDAL writes for AW3D-style tiles)."""
     north_up = np.ascontiguousarray(heights_south_up[::-1, :]).astype("<i2")
     h, w = north_up.shape
     payload_arr = north_up
@@ -418,6 +521,8 @@ def encode_tiff_gray16(
     payload = payload_arr.tobytes()
     if compression in (_TIFF_COMPRESSION_DEFLATE, _TIFF_COMPRESSION_DEFLATE_OLD):
         payload = zlib.compress(payload, zlevel)
+    elif compression == _TIFF_COMPRESSION_LZW:
+        payload = _lzw_encode(payload)
     elif compression != _TIFF_COMPRESSION_NONE:
         raise ValueError(f"unsupported compression {compression}")
     entries = [

@@ -1831,18 +1831,10 @@ _SIMHASH_ND_BITS = 32  # the 16-bit doc_simhash fingerprint is too
 # the operator sub-quadratic while doc_simhash stays as published
 
 
-def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4-bit band bucket-join + Hamming verify.
-
-    Completes the SimHash dedup family (fingerprint → candidate pairs):
-    a 32-bit simhash (same md5 word hashes as ``doc_simhash``, all 32
-    bits voted) splits into eight 4-bit bands; by pigeonhole any pair
-    with Hamming distance ≤ 7 shares a band, so the band equi-join
-    loses nothing at the ≤ 2 report threshold.  The join key packs
-    (band index, band value) into one int — a plain shuffle equi-join
-    that scales to 10^9 docs: band buckets shrink with fingerprint
-    width, and the verified output is near-linear in true duplicates.
-    """
+def _simhash_nd_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit per-doc simhash (all bits of the md5 word hash voted) —
+    the fingerprint shared by ``doc_simhash_near_dup`` and its recall
+    gate."""
     docs = _t(spark, sf_dir, "documents")
     exploded = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -1859,9 +1851,22 @@ def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(_SIMHASH_ND_BITS):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    sig = agg.select(
-        "doc_id", fingerprint.cast("bigint").alias("simhash")
-    )
+    return agg.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4-bit band bucket-join + Hamming verify.
+
+    Completes the SimHash dedup family (fingerprint → candidate pairs):
+    a 32-bit simhash (same md5 word hashes as ``doc_simhash``, all 32
+    bits voted) splits into eight 4-bit bands; by pigeonhole any pair
+    with Hamming distance ≤ 7 shares a band, so the band equi-join
+    loses nothing at the ≤ 2 report threshold.  The join key packs
+    (band index, band value) into one int — a plain shuffle equi-join
+    that scales to 10^9 docs: band buckets shrink with fingerprint
+    width, and the verified output is near-linear in true duplicates.
+    """
+    sig = _simhash_nd_sig(spark, sf_dir)
     band_keys = F.array(
         *[
             F.shiftright(F.col("simhash"), 4 * b)
@@ -1926,6 +1931,121 @@ select distinct a.doc_id as doc_a, b.doc_id as doc_b,
 from banded a join banded b using (bk)
 where a.doc_id < b.doc_id
   and bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+def q_doc_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall gate for the simhash banding (VERDICT r2 #9).
+
+    The 8×4-bit banding is pigeonhole-COMPLETE at hamming ≤ 7, so the
+    candidate set must contain every exact pair at hamming ≤ 2 —
+    this query MEASURES that instead of asserting it: exact simhash
+    Hamming over a bounded all-pairs slice (doc_id < 200) vs the banded
+    candidates, recall per hamming distance.  The bounded cross join is
+    benign (≤ 19900 pairs) and exists only in this gate, not in the
+    production operator.
+    """
+    sig = (
+        _simhash_nd_sig(spark, sf_dir)
+        .where(F.col("doc_id") < _RECALL_SLICE)
+        .localCheckpoint()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    exact = (
+        sa.crossJoin(sb)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 2)
+    )
+    band_keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 4 * b)
+            .bitwiseAND(F.lit(15))
+            .cast("int")
+            + F.lit(16 * b)
+            for b in range(_SIMHASH_ND_BITS // 4)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on="bk", how="inner")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = exact.join(cand, ["doc_a", "doc_b"], "left")
+    return hits.groupBy("hamming").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_candidates"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*"), 6
+        ).alias("recall"),
+    )
+
+
+SQL_DOC_SIMHASH_RECALL = f"""
+with exploded as (
+  select cast(doc_id as bigint) as doc_id,
+         unnest(list_filter(string_split(text, ' '), y -> y <> '')) as word
+  from documents where cast(doc_id as bigint) < {_RECALL_SLICE}
+),
+e as (
+  select doc_id, {_sql_word_hash('word', 0)} as h from exploded
+),
+bits as (
+  select doc_id,
+  {", ".join(
+    f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as b{b}"
+    for b in range(_SIMHASH_ND_BITS)
+  )}
+  from e group by doc_id
+),
+sig as (
+  select doc_id,
+    cast({" + ".join(
+      f"case when b{b} > 0 then {1 << b} else 0 end"
+      for b in range(_SIMHASH_ND_BITS)
+    )} as bigint) as simhash
+  from bits
+),
+exact as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+  from sig a join sig b on a.doc_id < b.doc_id
+  where bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+banded as (
+  select doc_id,
+         cast(((simhash >> (4 * t.b)) & 15) + 16 * t.b as int) as bk
+  from sig cross join (
+    select unnest(generate_series(0, {_SIMHASH_ND_BITS // 4 - 1})) as b) t
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from banded a join banded b using (bk)
+  where a.doc_id < b.doc_id
+)
+select e.hamming,
+       cast(count(*) as bigint) as n_exact,
+       cast(sum(case when c.doc_a is not null then 1 else 0 end) as bigint)
+         as n_candidates,
+       round(sum(case when c.doc_a is not null then 1 else 0 end) * 1.0
+             / count(*), 6) as recall
+from exact e
+left join cand c on c.doc_a = e.doc_a and c.doc_b = e.doc_b
+group by e.hamming
 """
 
 
@@ -2791,6 +2911,7 @@ QUERIES = {
     "doc_dedup_keep_best": q_doc_dedup_keep_best,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
+    "doc_simhash_recall": q_doc_simhash_recall,
     "doc_ngram_near_dup": q_doc_ngram_near_dup,
     "image_phash_dedup": q_image_phash_dedup,
     "image_phash_near_dup": q_image_phash_near_dup,
@@ -2829,6 +2950,7 @@ ORACLES = {
     "doc_dedup_keep_best": SQL_DOC_DEDUP_KEEP_BEST,
     "doc_simhash": SQL_DOC_SIMHASH,
     "doc_simhash_near_dup": SQL_DOC_SIMHASH_NEAR_DUP,
+    "doc_simhash_recall": SQL_DOC_SIMHASH_RECALL,
     "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,

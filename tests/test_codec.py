@@ -140,10 +140,15 @@ def test_tiff_rejects_bad_inputs():
         codec.decode_tiff_gray16(b"XXxxxxxx")
     arr = np.zeros((2, 2), dtype=np.int16)
     data = bytearray(codec.encode_tiff_gray16(arr))
-    # flip the compression tag value (259) to 5 (LZW)
+    # flip the compression tag value (259) to 32773 (PackBits — the one
+    # scheme still unsupported; LZW/deflate now decode)
     idx = data.find((259).to_bytes(2, "little"))
-    data[idx + 8] = 5
+    data[idx + 8 : idx + 10] = (32773).to_bytes(2, "little")
     with _pytest.raises(ValueError, match="compression"):
+        codec.decode_tiff_gray16(bytes(data))
+    # LZW flagged on uncompressed payload is caught as a corrupt stream
+    data[idx + 8 : idx + 10] = (5).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="ClearCode"):
         codec.decode_tiff_gray16(bytes(data))
 
 
@@ -174,6 +179,44 @@ def test_tiff_deflate_round_trip():
     raw = codec.encode_tiff_gray16(smooth)
     packed = codec.encode_tiff_gray16(smooth, compression=8, predictor=2)
     assert len(packed) < len(raw) / 4
+
+
+def test_tiff_lzw_round_trip():
+    """LZW strips (compression 5, TIFF 6.0 early-change variant) with
+    and without predictor 2 — the common wild-TIFF layout (VERDICT r2
+    missing #3)."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(-500, 4000, (17, 11)).astype(np.int16)
+    arr[5, 7] = -32768
+    for predictor in (1, 2):
+        data = codec.encode_tiff_gray16(arr, compression=5, predictor=predictor)
+        got = codec.decode_tiff_gray16(data)
+        assert np.array_equal(got, arr), predictor
+    # LZW shrinks smooth terrain too
+    smooth = np.outer(np.arange(64), np.ones(64)).astype(np.int16)
+    packed = codec.encode_tiff_gray16(smooth, compression=5, predictor=2)
+    assert len(packed) < len(codec.encode_tiff_gray16(smooth)) / 2
+
+
+def test_tiff_lzw_codec_properties():
+    """The raw LZW kernel: spec strings, width growth past 511 codes
+    (early change exercised by >256 distinct two-byte sequences), table
+    reset at 4094, and corrupt-stream rejection."""
+    import pytest
+
+    from demeton_spark.codec import _lzw_decode, _lzw_encode
+
+    for payload in (
+        b"",
+        b"\x00",
+        b"/WED/WE/WEE/WEB/WET",  # the TIFF 6.0 spec's worked example string
+        bytes(range(256)) * 3,
+        np.random.default_rng(5).integers(0, 7, 9000).astype(np.uint8).tobytes(),
+        np.arange(20000, dtype=np.uint8).tobytes(),  # forces width 12 + reset
+    ):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\x00\x00\x00\x00")  # does not start with ClearCode
 
 
 def test_tiff_deflate_half_width_doubling():
