@@ -41,6 +41,11 @@ WORLD_BY_SF = {
                     tile_size=1800, block_size=300),
     0.1: WorldSpec(lon0=0, lat0=40, n_tiles_x=20, n_tiles_y=20,
                    tile_size=1800, block_size=300),
+    # weak-scaling ladder (--weak-scaling): side grows with sqrt(sf)
+    0.33: WorldSpec(lon0=0, lat0=40, n_tiles_x=36, n_tiles_y=36,
+                    tile_size=1800, block_size=300),
+    1.0: WorldSpec(lon0=0, lat0=40, n_tiles_x=63, n_tiles_y=63,
+                   tile_size=1800, block_size=300),
 }
 
 HEADLINE_QUERIES = [
@@ -180,6 +185,37 @@ def _stage_totals(spark) -> dict:
     }
 
 
+def _peak_executor_memory(spark) -> dict:
+    """Peak executor memory from the UI REST API (local mode: the one
+    driver-executor JVM + its Python workers)."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    app = spark.sparkContext.applicationId
+    try:
+        execs = _json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/executors"
+            )
+        )
+    except Exception:
+        return {}
+    peak: dict[str, int] = {}
+    for e in execs:
+        for k, v in (e.get("peakMemoryMetrics") or {}).items():
+            peak[k] = max(peak.get(k, 0), int(v))
+    out = {}
+    if "JVMHeapMemory" in peak:
+        out["peak_jvm_heap_mb"] = round(peak["JVMHeapMemory"] / 1e6, 1)
+    python_rss = peak.get("ProcessTreePythonRSSMemory", 0)
+    if python_rss:
+        out["peak_python_rss_mb"] = round(python_rss / 1e6, 1)
+    return out
+
+
 def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
                trials: int = 3, stage_metrics: bool = False):
     from demeton_spark.session import build_session
@@ -192,6 +228,8 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
     }
     if stage_metrics:
         extra["spark.ui.enabled"] = "true"
+        # surfaces Python-worker RSS in peakMemoryMetrics
+        extra["spark.executor.processTreeMetrics.enabled"] = "true"
     spark = build_session(
         app_name=f"bench-local{cpus}",
         master=f"local[{cpus}]",
@@ -204,7 +242,7 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
         if stage_metrics:
             post = _stage_totals(spark)
             hs = {**hs, **{k: round(post[k] - pre.get(k, 0), 1)
-                           for k in post}}
+                           for k in post}, **_peak_executor_memory(spark)}
         queries: dict[str, float] = {"hillshade": hs["sec"]}
         if include_queries:
             from demeton_spark.queries import QUERIES
@@ -230,12 +268,19 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true",
-                        help="run local[8] vs local[32] scaling evidence")
+                        help="run local[2]/[8]/[32] core-scaling evidence")
+    parser.add_argument("--weak-scaling", action="store_true",
+                        help="run the sf0.1/0.33/1.0 weak-scaling ladder "
+                             "at fixed local[32]")
     args = parser.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of_dir(sf_dir)
+
+    if args.weak_scaling:
+        run_weak_scaling(cpus)
+        return
 
     if args.scaling:
         # Interleaved rounds: the sandbox's hypervisor steal drifts on a
@@ -280,6 +325,7 @@ def main() -> None:
 
     hs, queries = bench_once(cpus, sf_dir, sf, include_queries=True)
     total = round(sum(queries.values()), 3)
+    weak = _load_weak_scaling_artifact()
     print(json.dumps({
         "metric": (
             "end-to-end hillshade (assemble+halo+shade, "
@@ -294,6 +340,9 @@ def main() -> None:
         "hillshade_mpx_per_sec": hs["mpx_per_sec"],
         "hillshade_tiles": hs["tiles"],
         "cpus": cpus,
+        # measured separately by `bench.py --weak-scaling` (minutes-long
+        # sf1.0 run); carried here so BENCH_r0N.json records the curve
+        "weak_scaling": weak,
     }))
 
 
@@ -387,6 +436,57 @@ engine.SHADE_BAND_ROWS and run_hillshade(shade_partitions=…).
 Reference single-node baseline (BASELINE.md): the original tool shades
 ~0.3 Mpx/s single-threaded (650×488 px ≈ 1 s, docs/Tutorial.md:43-47).
 """)
+
+
+WEAK_SCALING_PATH = os.path.join(REPO, "BENCH", "WEAKSCALING.json")
+
+#: weak-scaling ladder: fixed parallelism, input grows 10x — the flat
+#: s/Mpx curve is the primary 100-TB scale evidence (one shuffle, 1
+#: tile/task, memory bounded by tile size not input size)
+WEAK_SFS = (0.1, 0.33, 1.0)
+
+
+def _load_weak_scaling_artifact():
+    try:
+        with open(WEAK_SCALING_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def run_weak_scaling(cpus: int) -> None:
+    points = []
+    for sf in WEAK_SFS:
+        # one JVM per point: peak-memory readings do not bleed across
+        # sizes.  trials=2 at the small sizes absorbs warmup; the sf1.0
+        # run is long enough (minutes) that warmup is noise.
+        trials = 1 if sf >= 1.0 else 2
+        hs, _ = bench_once(cpus, f"sf{sf}", sf, include_queries=False,
+                           trials=trials, stage_metrics=True)
+        pt = {"sf": sf, **hs,
+              "sec_per_mpx": round(hs["sec"] / hs["megapixels"], 5)}
+        points.append(pt)
+        print(f"weak sf={sf}: {pt}", file=sys.stderr)
+    base = points[0]["sec_per_mpx"]
+    result = {
+        "cpus": cpus,
+        "points": points,
+        "sec_per_mpx": {str(p["sf"]): p["sec_per_mpx"] for p in points},
+        # s/Mpx at each size relative to the smallest: 1.0 = perfectly
+        # flat; < 1.0 = the pipeline got MORE efficient as input grew
+        "flatness_vs_sf0.1": {
+            str(p["sf"]): round(p["sec_per_mpx"] / base, 3) for p in points
+        },
+    }
+    os.makedirs(os.path.dirname(WEAK_SCALING_PATH), exist_ok=True)
+    with open(WEAK_SCALING_PATH, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({
+        "metric": "hillshade weak scaling s/Mpx at fixed local[%d]" % cpus,
+        "value": result["flatness_vs_sf0.1"][str(WEAK_SFS[-1])],
+        "unit": "ratio (1.0 = flat)",
+        **result,
+    }))
 
 
 if __name__ == "__main__":
