@@ -302,11 +302,13 @@ _TIFF_TAGS = {
     277: "samples_per_pixel", 317: "predictor", 339: "sample_format",
 }
 
-#: TIFF compression codes we read: none, LZW, Adobe deflate, legacy deflate
+#: TIFF compression codes we read: none, LZW, Adobe deflate, legacy
+#: deflate, PackBits
 _TIFF_COMPRESSION_NONE = 1
 _TIFF_COMPRESSION_LZW = 5
 _TIFF_COMPRESSION_DEFLATE = 8
 _TIFF_COMPRESSION_DEFLATE_OLD = 32946
+_TIFF_COMPRESSION_PACKBITS = 32773
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
@@ -405,6 +407,61 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (TIFF 6.0 §9, the Macintosh RLE scheme): control
+    byte n in [0,127] copies the next n+1 literal bytes, n in
+    [-127,-1] (two's complement) repeats the next byte 1−n times,
+    −128 is a no-op."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            if i + n + 1 > end:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= end:
+                raise ValueError("truncated PackBits repeat run")
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Inverse of :func:`_packbits_decode`.  Standard packer: runs of
+    ≥3 identical bytes become repeat packets (max 128), everything
+    else literal packets (max 128); a 2-byte run breaking a literal
+    stretch is folded into the literal, per the TIFF 6.0 §9 advice."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        # measure the run starting at i
+        j = i + 1
+        while j < end and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3 or (j - i == 2 and j == end):
+            out.append((257 - (j - i)) & 0xFF)
+            out.append(data[i])
+            i = j
+            continue
+        # literal stretch: scan until a run of >=3 begins (or 128 cap)
+        lit = i
+        while j < end and j - lit < 128:
+            if (
+                j + 2 < end
+                and data[j] == data[j + 1] == data[j + 2]
+            ):
+                break
+            j += 1
+        out.append(j - lit - 1)
+        out += data[lit:j]
+        i = j
+    return bytes(out)
+
+
 def decode_tiff_gray16(
     data: bytes, duplicate_to_width: int | None = None
 ) -> np.ndarray:
@@ -416,11 +473,11 @@ def decode_tiff_gray16(
     (high-latitude) tiles duplicate each column when
     ``duplicate_to_width`` is given.  Both endiannesses supported.
     Compression: none (1), LZW strips (5, the common wild-TIFF scheme;
-    TIFF 6.0 early-change variant), and deflate strips (8 / legacy
-    32946, the scheme real AW3D/GDAL tiles ship with) — each with
-    optional horizontal-differencing predictor 2 (per-row 16-bit sample
-    deltas, undone by a wrapping cumulative sum).  Other schemes are
-    rejected.
+    TIFF 6.0 early-change variant), deflate strips (8 / legacy 32946,
+    the scheme real AW3D/GDAL tiles ship with), and PackBits strips
+    (32773, the TIFF 6.0 baseline RLE) — each with optional
+    horizontal-differencing predictor 2 (per-row 16-bit sample deltas,
+    undone by a wrapping cumulative sum).  Other schemes are rejected.
     """
     if data[:2] == b"II":
         bo = "<"
@@ -456,6 +513,7 @@ def decode_tiff_gray16(
         _TIFF_COMPRESSION_LZW,
         _TIFF_COMPRESSION_DEFLATE,
         _TIFF_COMPRESSION_DEFLATE_OLD,
+        _TIFF_COMPRESSION_PACKBITS,
     ):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if tags.get("bits", [16])[0] != 16 or tags.get("samples_per_pixel", [1])[0] != 1:
@@ -474,6 +532,9 @@ def decode_tiff_gray16(
             strip = np.frombuffer(data, dt, n_rows * w, off)
         elif compression == _TIFF_COMPRESSION_LZW:
             raw = _lzw_decode(data[off : off + strip_counts[si]])
+            strip = np.frombuffer(raw, dt, n_rows * w)
+        elif compression == _TIFF_COMPRESSION_PACKBITS:
+            raw = _packbits_decode(data[off : off + strip_counts[si]])
             strip = np.frombuffer(raw, dt, n_rows * w)
         else:
             raw = zlib.decompress(data[off : off + strip_counts[si]])
@@ -504,7 +565,8 @@ def encode_tiff_gray16(
 ) -> bytes:
     """Minimal little-endian int16 TIFF (one strip), rows north-first —
     the inverse of :func:`decode_tiff_gray16` for tests and sinks.
-    ``compression`` 1 (none), 5 (LZW) or 8 (deflate); ``predictor`` 2
+    ``compression`` 1 (none), 5 (LZW), 8 (deflate) or 32773
+    (PackBits); ``predictor`` 2
     applies per-row horizontal differencing before compression (the
     layout GDAL writes for AW3D-style tiles)."""
     north_up = np.ascontiguousarray(heights_south_up[::-1, :]).astype("<i2")
@@ -523,6 +585,8 @@ def encode_tiff_gray16(
         payload = zlib.compress(payload, zlevel)
     elif compression == _TIFF_COMPRESSION_LZW:
         payload = _lzw_encode(payload)
+    elif compression == _TIFF_COMPRESSION_PACKBITS:
+        payload = _packbits_encode(payload)
     elif compression != _TIFF_COMPRESSION_NONE:
         raise ValueError(f"unsupported compression {compression}")
     entries = [
