@@ -6,8 +6,10 @@ the training-data-pipeline extras); ``oracle_sql()`` gives the DuckDB
 twin for EVERY query — the raster queries' synthetic world is
 regenerated in SQL from generate_series (including the projected-raster
 shade geometry and the marching-squares segment/chain taxonomy), and
-the image-dedup query reads the same committed parquet fixture in both
-engines.  Pixel values additionally stay pinned in ``tests/`` against
+the image-dedup and audio-features queries read the same committed
+parquet fixture in both engines (the audio oracle regenerates the
+integer WAV sample series from the materialized generator params,
+checking the from-scratch RIFF decode end-to-end).  Pixel values additionally stay pinned in ``tests/`` against
 numpy oracles and the reference's golden constants.
 """
 

@@ -77,6 +77,7 @@ HEADLINE_QUERIES = [
     "doc_simhash_recall",
     "image_phash_dedup",
     "image_phash_near_dup",
+    "audio_features",
     "doc_fingerprint",
     "doc_ngram_near_dup",
     "knn_bruteforce",

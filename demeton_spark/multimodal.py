@@ -9,13 +9,14 @@ Dem/Hgt.fs:14-92), ``tiff`` gray16 (the AW3D GeoTIFF shape,
 Aw3d/Funcs.fs:180-261) via :mod:`demeton_spark.codec`, and baseline
 ``jpeg`` via the from-scratch pure-numpy codec in
 :mod:`demeton_spark.jpeg` (mirroring the reference's from-scratch PNG
-ethos, Png/Chunks.fs:21-213).  Only ``webp`` and audio/video codecs
-remain stubbed — no decoder library exists in this environment: webp
-produces a deterministic fake raster derived from the payload hash
-(clearly marked, stable across runs so the downstream plumbing is
-testable), and audio raises ``NotImplementedError``.  The Spark-side
-contract — schemas, batch shapes, quarantine routing, partitioning —
-is real and tested.
+ethos, Png/Chunks.fs:21-213).  Audio decodes for real too: WAV/PCM
+via the from-scratch RIFF codec in :mod:`demeton_spark.audio`.  Only
+``webp`` and compressed-audio/video codecs remain stubbed — no
+decoder library exists in this environment: webp produces a
+deterministic fake raster derived from the payload hash (clearly
+marked, stable across runs so the downstream plumbing is testable).
+The Spark-side contract — schemas, batch shapes, quarantine routing,
+partitioning — is real and tested.
 
 ``verify_images`` implements the per-row invariant from the build
 target: decoded pixels must hash to the row's ``phash`` (allclose/
@@ -249,10 +250,44 @@ def frame_sample(
     return videos.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
-def audio_features(audio: DataFrame) -> DataFrame:
-    """STUB: no audio decoder is available in this environment."""
-    raise NotImplementedError(
-        "audio decoding requires a codec library not present in this "
-        "container; wire a decoder into _decode_payload-style mapInPandas "
-        "plumbing as done for images"
-    )
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, n_samples long, sample_rate int, duration_ms double, "
+    "rms double, peak int, zero_crossings long, spectral_centroid_hz double"
+)
+
+
+def audio_features(audio: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Per-clip curation features over WAV/PCM ``binary`` payloads.
+
+    Real decode end-to-end: the from-scratch RIFF/WAVE codec in
+    :mod:`demeton_spark.audio` (PCM16 / PCM8 / float32, chunk-walking
+    container) feeds numpy DSP — duration, RMS, peak,
+    zero-crossing count, spectral centroid (rfft).  Expects columns
+    ``(audio_id, bytes)``; ``on_error='skip'`` quarantines corrupt
+    containers the same way :func:`decode_images` does.  Compressed
+    audio (mp3/aac/…) is out of scope — see the module docstring of
+    :mod:`demeton_spark.audio`.
+    """
+    from . import audio as audio_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "audio_id", "n_samples", "sample_rate", "duration_ms",
+                "rms", "peak", "zero_crossings", "spectral_centroid_hz")}
+            for r in pdf.itertuples():
+                try:
+                    f = audio_codec.wav_features(bytes(r.bytes))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows["audio_id"].append(r.audio_id)
+                for k in (
+                    "n_samples", "sample_rate", "duration_ms", "rms",
+                    "peak", "zero_crossings", "spectral_centroid_hz",
+                ):
+                    rows[k].append(f[k])
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -2261,6 +2261,80 @@ group by phash
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation features over real WAV/PCM decode.
+
+    The clips table (multimodal extra — the reference has no audio
+    path) carries opaque ``binary`` WAV payloads; the Spark side
+    decodes them with the from-scratch RIFF codec
+    (:mod:`demeton_spark.audio`) inside one mapInPandas pass and
+    reports the corpus-curation feature set.  The DuckDB oracle cannot
+    decode WAV — instead the generator params ``(a, n, rate)``
+    materialized next to the bytes let it regenerate the exact integer
+    sample series (``((a·(t+7)·(t+13)) mod 4001) − 2000``) and compute
+    the same features in SQL, so decode + DSP are both checked
+    end-to-end.  Sample values are integers, so sums are exact in
+    float64 and rms matches bit-for-bit before the 6-decimal round.
+    The spectral centroid is not SQL-expressible (rfft) and is pinned
+    against closed-form tones in tests/test_audio.py instead.  At
+    10^10 clips this is a linear embarrassingly-parallel scan — no
+    shuffle at all.
+    """
+    import re
+
+    from demeton_spark import multimodal
+    from demeton_spark.synth import ensure_contract_audio
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    clips = spark.read.parquet(ensure_contract_audio(spark, sf))
+    feats = multimodal.audio_features(clips.select("audio_id", "bytes"))
+    return feats.select(
+        "audio_id",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        "sample_rate",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        F.col("zero_crossings").cast("bigint").alias("zero_crossings"),
+    )
+
+
+SQL_AUDIO_FEATURES = """
+with clips as (
+  select audio_id, a, n, rate
+  from read_parquet('/root/repo/data/synth_audio/sf0.01/*.parquet')
+),
+samples as (
+  select c.audio_id, c.n, c.rate, u.t,
+         cast(((c.a * (u.t + 7) * (u.t + 13)) % 4001) - 2000 as double) as s
+  from clips c, unnest(range(0, cast(c.n as bigint))) as u(t)
+),
+base as (
+  select audio_id,
+         cast(count(*) as bigint) as n_samples,
+         cast(any_value(rate) as int) as sample_rate,
+         count(*) * 1000.0 / any_value(rate) as duration_ms,
+         round(sqrt(avg(s * s)), 6) as rms,
+         cast(max(abs(s)) as int) as peak
+  from samples group by audio_id
+),
+zc as (
+  select audio_id,
+         cast(coalesce(sum(case when s * prev < 0 then 1 else 0 end), 0) as bigint)
+           as zero_crossings
+  from (
+    select audio_id, s,
+           lag(s) over (partition by audio_id order by t) as prev
+    from samples where s <> 0
+  ) group by audio_id
+)
+select b.audio_id, b.n_samples, b.sample_rate, b.duration_ms, b.rms, b.peak,
+       z.zero_crossings
+from base b join zc z using (audio_id)
+"""
+
+
 def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event type — the SAME operator the
     streaming path runs (`streaming.windowed_event_counts` works on
@@ -2915,6 +2989,7 @@ QUERIES = {
     "doc_ngram_near_dup": q_doc_ngram_near_dup,
     "image_phash_dedup": q_image_phash_dedup,
     "image_phash_near_dup": q_image_phash_near_dup,
+    "audio_features": q_audio_features,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf_bucketed": q_knn_ivf_bucketed,
@@ -2955,6 +3030,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
+    "audio_features": SQL_AUDIO_FEATURES,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
     "knn_ivf_recall": SQL_KNN_IVF_RECALL,

@@ -96,9 +96,28 @@ def test_frame_sample(spark):
     assert f0.tolist() == [0, 1, 2, 3]
 
 
-def test_audio_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal.audio_features(None)
+def test_audio_features_end_to_end(spark):
+    """audio_features decodes real WAV/PCM payloads via mapInPandas and
+    quarantines corrupt containers under on_error='skip'."""
+    from demeton_spark import audio as audio_codec
+
+    t = np.arange(8000)
+    tone = np.round(
+        12000.0 * np.sin(2 * np.pi * 440.0 * t / 8000.0)
+    ).astype(np.int16)
+    rows = [
+        ("a0", bytearray(audio_codec.encode_wav(tone, 8000))),
+        ("bad", bytearray(b"OggS" + b"\x00" * 64)),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    out = {r["audio_id"]: r for r in multimodal.audio_features(df, on_error="skip").collect()}
+    assert set(out) == {"a0"}  # corrupt row quarantined
+    r = out["a0"]
+    assert r["n_samples"] == 8000 and r["sample_rate"] == 8000
+    assert r["duration_ms"] == 1000.0
+    assert abs(r["spectral_centroid_hz"] - 440.0) < 2.0
+    with pytest.raises(Exception):  # raise mode surfaces the decode error
+        multimodal.audio_features(df).collect()
 
 
 def test_decode_tiff_format(spark):
