@@ -618,3 +618,322 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(peak * peak / mse)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB): 8-bpp paletted gray + 24-bpp BGR, BI_RGB only.
+# No reference counterpart (the reference decodes PNG/TIFF/HGT only) —
+# this is multimodal-extras surface: web-corpus image tables carry BMP
+# rows and the engine must decode them without a codec library.
+# ---------------------------------------------------------------------------
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → uint8 array: ``(h, w)`` for 8-bpp gray-paletted,
+    ``(h, w, 3)`` RGB for 24-bpp.  Uncompressed (BI_RGB) BITMAPINFOHEADER
+    (or later, e.g. V4/V5 — header size ≥ 40) only; rows are 4-byte
+    padded, bottom-up unless height is negative.  Raises ``ValueError``
+    on corrupt/unsupported input (→ multimodal quarantine)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or compression != 0:
+        raise ValueError("only uncompressed (BI_RGB) BMP is supported")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    bottom_up = h > 0
+    h = abs(h)
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off : pal_off + 4 * n_colors], np.uint8
+        ).reshape(-1, 4)  # BGRX
+        if len(pal) < n_colors:
+            raise ValueError("truncated BMP palette")
+        stride = (w + 3) & ~3
+        need = stride * h
+        raw = np.frombuffer(data[pix_off : pix_off + need], np.uint8)
+        if len(raw) < need:
+            raise ValueError("truncated BMP pixel data")
+        idx = raw.reshape(h, stride)[:, :w]
+        # ITU-R 601 luma over the BGRX palette, rounded
+        luma = np.round(
+            0.114 * pal[:, 0] + 0.587 * pal[:, 1] + 0.299 * pal[:, 2]
+        ).astype(np.uint8)
+        img = luma[idx]
+    elif bpp == 24:
+        stride = (3 * w + 3) & ~3
+        need = stride * h
+        raw = np.frombuffer(data[pix_off : pix_off + need], np.uint8)
+        if len(raw) < need:
+            raise ValueError("truncated BMP pixel data")
+        img = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[..., ::-1]
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    return img[::-1].copy() if bottom_up else img.copy()
+
+
+def encode_bmp_gray8(img: np.ndarray) -> bytes:
+    """uint8 ``(h, w)`` → 8-bpp BMP with an identity gray palette."""
+    h, w = img.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = img
+    payload = rows[::-1].tobytes()  # bottom-up
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes((i, i, i, 0))  # BGRX
+    pix_off = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(payload), 0, 0, pix_off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(payload),
+                    2835, 2835, 256, 0)
+    return header + bytes(pal) + payload
+
+
+def encode_bmp_rgb24(img: np.ndarray) -> bytes:
+    """uint8 ``(h, w, 3)`` RGB → 24-bpp BMP."""
+    h, w, _ = img.shape
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = img[..., ::-1].reshape(h, 3 * w)  # RGB → BGR
+    payload = rows[::-1].tobytes()
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(payload), 0, 0, pix_off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(payload),
+                    2835, 2835, 0, 0)
+    return header + payload
+
+
+# ---------------------------------------------------------------------------
+# GIF 87a/89a: variable-width LSB-first LZW (distinct from the TIFF
+# variant above: LSB packing, dynamic min-code-size, no early change),
+# global/local palettes, interlace, extension skipping.  First frame only
+# (animation frames are rows in the videos table, not one payload).
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW: LSB-first, width = mcs+1 growing to 12 bits
+    (bump AFTER the table fills 2^width, no early change), Clear =
+    2^mcs, EOI = 2^mcs + 1."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for byte in data:
+        acc |= byte << nacc
+        nacc += 8
+        while nacc >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nacc -= width
+            if code == eoi:
+                return out
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if prev is None:
+                if not table:
+                    raise ValueError("GIF LZW stream must start with Clear")
+                if code >= len(table):
+                    raise ValueError("corrupt GIF LZW: first code not literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW: code beyond table")
+            out += entry
+            if len(out) >= max_pixels:
+                return out
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_gif_lzw_decode` (greedy longest-match)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    width = min_code_size + 1
+    emit(clear, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == (1 << 12):
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → uint8 ``(h, w, 3)`` RGB (first frame).
+
+    Walks the 89a/87a block structure: logical screen descriptor +
+    optional global color table, extension blocks skipped (including
+    GCE transparency — the engine's rasters are opaque), first image
+    descriptor decoded (local palette and interlace honoured), raises
+    ``ValueError`` on corrupt streams."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, flags = struct.unpack_from("<HHB", data, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        global_pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if len(global_pal) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        global_pal = global_pal.reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            size = data[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        _ix, _iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+            if len(pal) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        mcs = data[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            size = data[pos]
+            pos += 1
+            if size == 0:
+                break
+            chunks.append(data[pos : pos + size])
+            if len(chunks[-1]) < size:
+                raise ValueError("truncated GIF sub-block")
+            pos += size
+        idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data underrun")
+        grid = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            out_rows = np.empty_like(grid)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, ih, step))
+                out_rows[start::step] = grid[src : src + n_rows]
+                src += n_rows
+            grid = out_rows
+        if int(grid.max(initial=0)) >= len(pal):
+            raise ValueError("GIF index beyond palette")
+        return pal[grid]
+    raise ValueError("GIF stream has no image descriptor")
+
+
+def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 ``(h, w)`` → single-frame GIF89a with a 256-gray global
+    palette (test/fixture generator for the decoder above)."""
+    h, w = img.shape
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes((i, i, i))
+    grid = img
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.append(img[start::step])
+        grid = np.concatenate(rows, axis=0)
+    lzw = _gif_lzw_encode(grid.tobytes(), 8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)  # global pal, 256
+    out += pal
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(8)  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

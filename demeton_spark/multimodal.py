@@ -42,9 +42,11 @@ DECODED_SCHEMA = (
 
 
 def _decode_payload(fmt: str, payload: bytes, w: int, h: int) -> np.ndarray:
-    """Binary → int16 (h, w) block.  Real for png16/hgt/tiff/jpeg
-    (baseline JPEG decoded from scratch, :mod:`demeton_spark.jpeg`);
-    deterministic FAKE for webp only (no decoder in this container —
+    """Binary → int16 (h, w) block.  Real for png16/hgt/tiff/jpeg/bmp/
+    gif (baseline JPEG, BMP and GIF-LZW decoded from scratch:
+    :mod:`demeton_spark.jpeg`, :mod:`demeton_spark.codec`); color
+    decodes to ITU-R 601 luma (the engine's rasters are gray).
+    Deterministic FAKE for webp only (no decoder in this container —
     do not ship).  Corrupt payloads raise ``ValueError`` → the
     ``on_error='skip'`` quarantine path."""
     if fmt == "png16":
@@ -64,6 +66,22 @@ def _decode_payload(fmt: str, payload: bytes, w: int, h: int) -> np.ndarray:
                 + 0.114 * decoded[..., 2]
             )
         return decoded.astype(np.int16)
+    if fmt == "bmp":
+        decoded = codec.decode_bmp(bytes(payload))
+        if decoded.ndim == 3:
+            decoded = np.round(
+                0.299 * decoded[..., 0]
+                + 0.587 * decoded[..., 1]
+                + 0.114 * decoded[..., 2]
+            )
+        return decoded.astype(np.int16)
+    if fmt == "gif":
+        decoded = codec.decode_gif(bytes(payload))
+        return np.round(
+            0.299 * decoded[..., 0]
+            + 0.587 * decoded[..., 1]
+            + 0.114 * decoded[..., 2]
+        ).astype(np.int16)
     if fmt == "webp":
         # STUB: derive a stable pseudo-raster from the payload digest so
         # downstream stages (resize, features) exercise real shapes.

@@ -261,3 +261,141 @@ def test_packbits_packet_semantics():
     for n in (0, 1, 2, 3, 127, 128, 129, 255, 256, 1000):
         blob = bytes(rng.integers(0, 3, n, dtype=np.uint8))
         assert codec._packbits_decode(codec._packbits_encode(blob)) == blob
+
+
+# --- BMP -------------------------------------------------------------------
+
+
+def test_bmp_gray8_round_trip():
+    """8-bpp paletted BMP with an identity gray palette decodes back to
+    the source bytes, including 4-byte row padding at odd widths."""
+    rng = np.random.default_rng(31)
+    for w, h in ((1, 1), (3, 2), (13, 7), (64, 64)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(codec.decode_bmp(codec.encode_bmp_gray8(img)), img)
+
+
+def test_bmp_rgb24_round_trip():
+    """24-bpp BGR BMP round-trips RGB pixel-exactly (BGR swap + bottom-up
+    row order + stride padding all honoured)."""
+    rng = np.random.default_rng(32)
+    for w, h in ((1, 1), (2, 3), (11, 5)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = codec.decode_bmp(codec.encode_bmp_rgb24(img))
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, img)
+
+
+def test_bmp_top_down_and_palette_luma():
+    """Negative height = top-down row order; non-gray palettes map
+    through ITU-R 601 luma."""
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    data = bytearray(codec.encode_bmp_gray8(img))
+    # flip to top-down: negate height and un-reverse the stored rows
+    h = 3
+    struct_h = int.from_bytes(data[22:26], "little", signed=True)
+    assert struct_h == h
+    data[22:26] = (-h).to_bytes(4, "little", signed=True)
+    pix_off = int.from_bytes(data[10:14], "little")
+    stride = 4
+    rows = bytes(data[pix_off:])
+    flipped = b"".join(
+        rows[i * stride : (i + 1) * stride] for i in range(h - 1, -1, -1)
+    )
+    data[pix_off:] = flipped
+    assert np.array_equal(codec.decode_bmp(bytes(data)), img)
+    # pure-red palette entry 0 → luma 76 (round(0.299*255))
+    red = bytearray(codec.encode_bmp_gray8(np.zeros((1, 1), np.uint8)))
+    pal_off = 14 + 40
+    red[pal_off : pal_off + 4] = bytes((0, 0, 255, 0))  # BGRX
+    assert codec.decode_bmp(bytes(red))[0, 0] == 76
+
+
+def test_bmp_rejects_bad_inputs():
+    good = codec.encode_bmp_gray8(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        codec.decode_bmp(b"XX" + good[2:])  # bad magic
+    with pytest.raises(ValueError):
+        codec.decode_bmp(good[:-8])  # truncated pixels
+    rle = bytearray(good)
+    rle[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError):
+        codec.decode_bmp(bytes(rle))
+    onebit = bytearray(good)
+    onebit[28] = 1  # 1 bpp
+    with pytest.raises(ValueError):
+        codec.decode_bmp(bytes(onebit))
+
+
+# --- GIF -------------------------------------------------------------------
+
+
+def test_gif_gray_round_trip():
+    """GIF89a with a 256-gray global palette round-trips; all three RGB
+    channels equal the source gray value."""
+    rng = np.random.default_rng(41)
+    for w, h in ((1, 1), (5, 3), (17, 9), (64, 64)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = codec.decode_gif(codec.encode_gif_gray(img))
+        assert got.shape == (h, w, 3)
+        for c in range(3):
+            assert np.array_equal(got[..., c], img)
+
+
+def test_gif_interlaced_round_trip():
+    """Interlace flag: rows stored in the 8/8/4/2 four-pass order are
+    de-interlaced back to natural order."""
+    rng = np.random.default_rng(42)
+    for h in (1, 2, 3, 4, 7, 8, 9, 16, 33):
+        img = rng.integers(0, 256, (h, 6), dtype=np.uint8)
+        got = codec.decode_gif(codec.encode_gif_gray(img, interlace=True))
+        assert np.array_equal(got[..., 0], img), h
+
+
+def test_gif_extensions_skipped_and_87a():
+    """GCE/comment extension blocks before the image descriptor are
+    skipped; GIF87a magic accepted."""
+    img = np.arange(8, dtype=np.uint8).reshape(2, 4) * 16
+    data = bytearray(codec.encode_gif_gray(img))
+    # splice a Graphic Control Extension + comment after the palette
+    splice_at = 13 + 768
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    comment = b"\x21\xfe\x05hello\x00"
+    data[splice_at:splice_at] = gce + comment
+    got = codec.decode_gif(bytes(data))
+    assert np.array_equal(got[..., 1], img)
+    data87 = bytes(data).replace(b"GIF89a", b"GIF87a", 1)
+    assert np.array_equal(codec.decode_gif(data87)[..., 2], img)
+
+
+def test_gif_lzw_code_width_growth():
+    """LZW table crossing the 2^width boundary grows the code width;
+    a low-entropy long stream exercises widths 9→12 and a mid-stream
+    Clear on encode-side table overflow."""
+    rng = np.random.default_rng(43)
+    # long repetitive stream → encoder table passes 4096 → Clear reset
+    idx = bytes(rng.integers(0, 4, 60000, dtype=np.uint8))
+    enc = codec._gif_lzw_encode(idx, 8)
+    assert codec._gif_lzw_decode(enc, 8, len(idx)) == bytearray(idx)
+    # tiny alphabet with min code size 2
+    small = bytes(rng.integers(0, 4, 500, dtype=np.uint8))
+    enc2 = codec._gif_lzw_encode(small, 2)
+    assert codec._gif_lzw_decode(enc2, 2, len(small)) == bytearray(small)
+
+
+def test_gif_rejects_bad_inputs():
+    good = codec.encode_gif_gray(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        codec.decode_gif(b"JIF89a" + good[6:])
+    with pytest.raises(ValueError):
+        codec.decode_gif(good[:20])  # truncated palette
+    # image data cut mid-sub-block
+    with pytest.raises(ValueError):
+        codec.decode_gif(good[:-6])
+    # index beyond a shrunken local palette
+    img = np.full((2, 2), 200, np.uint8)
+    data = bytearray(codec.encode_gif_gray(img))
+    data[10] = (data[10] & ~7) | 2  # claim 8-entry global palette
+    del data[13 + 3 * 8 : 13 + 3 * 256]  # drop the rest of the palette
+    with pytest.raises(ValueError):
+        codec.decode_gif(bytes(data))

@@ -215,3 +215,35 @@ def test_phash_bands_reject_incomplete_hamming():
 
     with pytest.raises(ValueError):
         phash_bands_for_corpus(100, 8)
+
+
+def test_bmp_gif_decode_through_spark(spark):
+    """BMP and GIF rows decode through the mapInPandas path (from-scratch
+    codecs in demeton_spark.codec); color payloads land as ITU-R 601
+    luma int16 blocks, corrupt payloads quarantine under skip."""
+    from demeton_spark import codec
+
+    rng = np.random.default_rng(77)
+    gray = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (4, 7, 3), dtype=np.uint8)
+    rows = [
+        ("bmp_g", bytearray(codec.encode_bmp_gray8(gray)), 5, 6, "bmp", "c", 0),
+        ("bmp_c", bytearray(codec.encode_bmp_rgb24(rgb)), 7, 4, "bmp", "c", 0),
+        ("gif_g", bytearray(codec.encode_gif_gray(gray, interlace=True)), 5, 6, "gif", "c", 0),
+        ("gif_bad", bytearray(b"GIF89a\x00\x00"), 5, 6, "gif", "c", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    got = {r["image_id"]: r for r in multimodal.decode_images(df, on_error="skip").collect()}
+    assert sorted(got) == ["bmp_c", "bmp_g", "gif_g"]
+    g = np.frombuffer(got["bmp_g"]["pixels"], np.int16).reshape(6, 5)
+    assert np.array_equal(g, gray.astype(np.int16))
+    gi = np.frombuffer(got["gif_g"]["pixels"], np.int16).reshape(6, 5)
+    assert np.array_equal(gi, gray.astype(np.int16))
+    luma = np.round(
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    ).astype(np.int16)
+    c = np.frombuffer(got["bmp_c"]["pixels"], np.int16).reshape(4, 7)
+    assert np.array_equal(c, luma)
