@@ -9,13 +9,14 @@ Dem/Hgt.fs:14-92), ``tiff`` gray16 (the AW3D GeoTIFF shape,
 Aw3d/Funcs.fs:180-261) via :mod:`demeton_spark.codec`, and baseline
 ``jpeg`` via the from-scratch pure-numpy codec in
 :mod:`demeton_spark.jpeg` (mirroring the reference's from-scratch PNG
-ethos, Png/Chunks.fs:21-213).  Audio decodes for real too: WAV/PCM
-via the from-scratch RIFF codec in :mod:`demeton_spark.audio`.  Only
-``webp`` and compressed-audio/video codecs remain stubbed — no
-decoder library exists in this environment: webp produces a
-deterministic fake raster derived from the payload hash (clearly
-marked, stable across runs so the downstream plumbing is testable).
-The Spark-side contract — schemas, batch shapes, quarantine routing,
+ethos, Png/Chunks.fs:21-213), and lossless ``webp`` via the
+from-scratch VP8L bitstream codec in :mod:`demeton_spark.vp8l`.
+Audio decodes for real too: WAV/PCM via the from-scratch RIFF codec
+in :mod:`demeton_spark.audio`.  Only compressed-audio (mp3/aac) and
+video codecs remain out of scope — no decoder library exists in this
+environment and those bitstreams are patent-thickets rather than
+~1k-LoC specs; such rows route to the quarantine path.  The
+Spark-side contract — schemas, batch shapes, quarantine routing,
 partitioning — is real and tested.
 
 ``verify_images`` implements the per-row invariant from the build
@@ -43,12 +44,11 @@ DECODED_SCHEMA = (
 
 def _decode_payload(fmt: str, payload: bytes, w: int, h: int) -> np.ndarray:
     """Binary → int16 (h, w) block.  Real for png16/hgt/tiff/jpeg/bmp/
-    gif (baseline JPEG, BMP and GIF-LZW decoded from scratch:
-    :mod:`demeton_spark.jpeg`, :mod:`demeton_spark.codec`); color
-    decodes to ITU-R 601 luma (the engine's rasters are gray).
-    Deterministic FAKE for webp only (no decoder in this container —
-    do not ship).  Corrupt payloads raise ``ValueError`` → the
-    ``on_error='skip'`` quarantine path."""
+    gif/webp (baseline JPEG, BMP, GIF-LZW and VP8L WebP decoded from
+    scratch: :mod:`demeton_spark.jpeg`, :mod:`demeton_spark.codec`,
+    :mod:`demeton_spark.vp8l`); color decodes to ITU-R 601 luma (the
+    engine's rasters are gray).  Corrupt payloads raise ``ValueError``
+    → the ``on_error='skip'`` quarantine path."""
     if fmt == "png16":
         return codec.decode_heights_png(bytes(payload))
     if fmt == "hgt":
@@ -83,13 +83,14 @@ def _decode_payload(fmt: str, payload: bytes, w: int, h: int) -> np.ndarray:
             + 0.114 * decoded[..., 2]
         ).astype(np.int16)
     if fmt == "webp":
-        # STUB: derive a stable pseudo-raster from the payload digest so
-        # downstream stages (resize, features) exercise real shapes.
-        seed = int.from_bytes(
-            hashlib.sha256(bytes(payload)).digest()[:8], "big"
-        )
-        rng = np.random.default_rng(seed)
-        return rng.integers(-500, 9000, size=(h, w), dtype=np.int16)
+        from . import vp8l
+
+        decoded = vp8l.decode_webp(bytes(payload))  # uint8 RGBA (h, w, 4)
+        return np.round(
+            0.299 * decoded[..., 0].astype(np.float64)
+            + 0.587 * decoded[..., 1]
+            + 0.114 * decoded[..., 2]
+        ).astype(np.int16)
     raise NotImplementedError(f"no decoder for format {fmt!r}")
 
 

@@ -65,24 +65,34 @@ def test_image_features(spark, images):
     assert any(r["missing_px"] > 0 for r in rows)
 
 
-def test_fake_format_stub_and_quarantine(spark):
+def test_webp_decode_and_quarantine(spark):
+    from demeton_spark import vp8l
+
+    rgba = np.random.default_rng(3).integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    blob = vp8l.encode_webp(rgba)
     rows = [
-        ("a", bytearray(b"\x01\x02"), 4, 4, "webp", "x", 0),
-        ("b", bytearray(b"\x01\x02"), 4, 4, "flac", "x", 0),
+        ("a", bytearray(blob), 4, 4, "webp", "x", 0),
+        ("b", bytearray(b"\x01\x02"), 4, 4, "flac", "x", 0),  # unknown fmt
         ("c", bytearray(b"\x01\x02"), 4, 4, "jpeg", "x", 0),  # corrupt
+        ("d", bytearray(b"\x01\x02"), 4, 4, "webp", "x", 0),  # corrupt
     ]
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
     )
-    # unknown format / corrupt jpeg raise through by default…
+    # unknown format / corrupt payloads raise through by default…
     with pytest.raises(Exception):
         multimodal.decode_images(df).collect()
-    # …and are skippable (quarantine-style); the webp STUB decodes
-    # deterministically (jpeg now decodes for real — tests/test_jpeg.py)
+    # …and are skippable (quarantine-style); real webp decodes via the
+    # from-scratch VP8L codec (jpeg likewise — tests/test_jpeg.py)
     ok = multimodal.decode_images(df, on_error="skip").collect()
     assert [r["image_id"] for r in ok] == ["a"]
-    again = multimodal.decode_images(df, on_error="skip").collect()
-    assert ok[0]["pixels"] == again[0]["pixels"]  # stub is stable
+    want = np.round(
+        0.299 * rgba[..., 0].astype(np.float64)
+        + 0.587 * rgba[..., 1]
+        + 0.114 * rgba[..., 2]
+    ).astype(np.int16)
+    have = np.frombuffer(ok[0]["pixels"], dtype=np.int16).reshape(4, 4)
+    assert np.array_equal(have, want)
 
 
 def test_frame_sample(spark):
