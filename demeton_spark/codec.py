@@ -819,17 +819,18 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes → uint8 ``(h, w, 3)`` RGB (first frame).
+def _gif_frames(data: bytes):
+    """Yield composited full-canvas uint8 ``(sh, sw, 3)`` RGB frames.
 
     Walks the 89a/87a block structure: logical screen descriptor +
-    optional global color table, extension blocks skipped (including
-    GCE transparency — the engine's rasters are opaque), first image
-    descriptor decoded (local palette and interlace honoured), raises
-    ``ValueError`` on corrupt streams."""
+    optional global color table, Graphic Control Extensions honoured
+    (transparency index skipped during compositing; disposal methods
+    1 leave / 2 restore-background / 3 restore-previous), local
+    palettes and interlacing honoured, other extensions skipped.
+    Raises ``ValueError`` on corrupt streams."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
-    sw, sh, flags = struct.unpack_from("<HHB", data, 6)
+    sw, sh, flags, bg_idx = struct.unpack_from("<HHBB", data, 6)
     pos = 13
     global_pal = None
     if flags & 0x80:
@@ -839,6 +840,16 @@ def decode_gif(data: bytes) -> np.ndarray:
             raise ValueError("truncated GIF global color table")
         global_pal = global_pal.reshape(n, 3)
         pos += 3 * n
+
+    bg_rgb = (
+        global_pal[bg_idx]
+        if global_pal is not None and bg_idx < len(global_pal)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    # GCE state for the NEXT image descriptor
+    transparent = -1
+    disposal = 0
 
     def skip_subblocks(p: int) -> int:
         while True:
@@ -854,18 +865,25 @@ def decode_gif(data: bytes) -> np.ndarray:
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            break
+            return
         if block == 0x21:  # extension
             if pos >= len(data):
                 raise ValueError("truncated GIF extension")
+            label = data[pos]
+            if label == 0xF9 and pos + 6 <= len(data) and data[pos + 1] == 4:
+                gflags = data[pos + 2]
+                disposal = (gflags >> 2) & 7
+                transparent = data[pos + 5] if gflags & 1 else -1
             pos = skip_subblocks(pos + 1)
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         if pos + 9 > len(data):
             raise ValueError("truncated GIF image descriptor")
-        _ix, _iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos)
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
+        if ix + iw > sw or iy + ih > sh:
+            raise ValueError("GIF frame outside logical screen")
         pal = global_pal
         if iflags & 0x80:
             n = 2 << (iflags & 7)
@@ -904,10 +922,41 @@ def decode_gif(data: bytes) -> np.ndarray:
                 out_rows[start::step] = grid[src : src + n_rows]
                 src += n_rows
             grid = out_rows
-        if int(grid.max(initial=0)) >= len(pal):
+        opaque = grid != transparent if transparent >= 0 else slice(None)
+        if int(grid[opaque].max(initial=0)) >= len(pal):
             raise ValueError("GIF index beyond palette")
-        return pal[grid]
+        prev = canvas.copy() if disposal == 3 else None
+        rect = canvas[iy : iy + ih, ix : ix + iw]
+        if transparent >= 0:
+            rect[opaque] = pal[grid[opaque]]
+        else:
+            rect[:] = pal[grid]
+        yield canvas.copy()
+        if disposal == 2:  # restore rect to background
+            canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+        elif disposal == 3:  # restore to pre-frame canvas
+            canvas = prev
+        transparent, disposal = -1, 0
+    raise ValueError("GIF stream missing trailer")
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → uint8 ``(h, w, 3)`` RGB (first composited frame)."""
+    for frame in _gif_frames(data):
+        return frame
     raise ValueError("GIF stream has no image descriptor")
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """Animated GIF bytes → every composited uint8 ``(h, w, 3)`` frame.
+
+    Animated GIF is the one real video container decodable from public
+    spec without a codec library; this backs the engine's video
+    frame-sampling path (multimodal.frame_sample fmt='gif')."""
+    frames = list(_gif_frames(data))
+    if not frames:
+        raise ValueError("GIF stream has no image descriptor")
+    return frames
 
 
 def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
@@ -936,4 +985,45 @@ def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_anim(
+    frames: list,
+    rects: list | None = None,
+    disposals: list | None = None,
+    transparent: int = -1,
+    bg_index: int = 0,
+) -> bytes:
+    """Animated GIF89a fixture generator for :func:`decode_gif_frames`.
+
+    ``frames`` are uint8 gray arrays (256-gray global palette).  Frame
+    ``k > 0`` may be a sub-rectangle placed at ``rects[k] = (ix, iy)``;
+    ``disposals[k]`` is the GCE disposal method applied AFTER frame k
+    (0/1 leave, 2 restore-background, 3 restore-previous); pixels equal
+    to ``transparent`` are transparent in frames > 0."""
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, bg_index, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    for k, frame in enumerate(frames):
+        ix, iy = (rects[k] if rects and rects[k] else (0, 0))
+        disposal = disposals[k] if disposals else 0
+        gflags = (disposal & 7) << 2
+        tr = 0
+        if transparent >= 0 and k > 0:
+            gflags |= 1
+            tr = transparent
+        out += b"\x21\xf9\x04" + bytes((gflags, 0, 0, tr)) + b"\x00"
+        fh, fw = frame.shape
+        out += b"\x2c" + struct.pack("<HHHHB", ix, iy, fw, fh, 0)
+        out.append(8)
+        lzw = _gif_lzw_encode(frame.tobytes(), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

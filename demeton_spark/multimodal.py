@@ -12,10 +12,13 @@ Aw3d/Funcs.fs:180-261) via :mod:`demeton_spark.codec`, and baseline
 ethos, Png/Chunks.fs:21-213), and lossless ``webp`` via the
 from-scratch VP8L bitstream codec in :mod:`demeton_spark.vp8l`.
 Audio decodes for real too: WAV/PCM via the from-scratch RIFF codec
-in :mod:`demeton_spark.audio`.  Only compressed-audio (mp3/aac) and
-video codecs remain out of scope — no decoder library exists in this
-environment and those bitstreams are patent-thickets rather than
-~1k-LoC specs; such rows route to the quarantine path.  The
+in :mod:`demeton_spark.audio`; video via animated GIF
+(:func:`demeton_spark.codec.decode_gif_frames` under
+:func:`frame_sample`).  Only compressed-audio (mp3/aac) and
+compressed-video (h264/vp9) bitstreams remain out of scope — no
+decoder library exists in this environment and those are
+patent-thickets rather than ~1k-LoC specs; such rows route to the
+quarantine path.  The
 Spark-side contract — schemas, batch shapes, quarantine routing,
 partitioning — is real and tested.
 
@@ -238,30 +241,69 @@ FRAMES_SCHEMA = "video_id string, frame_idx int, frame binary"
 
 
 def frame_sample(
-    videos: DataFrame, frame_w: int, frame_h: int, every_k: int = 2
+    videos: DataFrame,
+    frame_w: int,
+    frame_h: int,
+    every_k: int = 2,
+    on_error: str = "raise",
 ) -> DataFrame:
-    """Sample every k-th frame of a "video" payload.
+    """Sample every k-th frame of a video payload.
 
-    The container format is a deterministic fake — a flat concatenation
-    of int16 (frame_h, frame_w) frames (no video codec exists in this
-    environment); the Spark plumbing (explode one row → many frame rows
-    inside mapInPandas, stable frame indices) is the real deliverable.
-    Expects columns (video_id, bytes).
+    Two container formats: ``fmt='gif'`` rows are REAL video — animated
+    GIF decoded frame-by-frame by the from-scratch decoder
+    (:func:`demeton_spark.codec.decode_gif_frames`, GCE disposal and
+    transparency composited) with each frame reduced to ITU-R 601 luma
+    int16; rows without a ``fmt`` column (or ``fmt='rawi16'``) are a
+    flat concatenation of int16 (frame_h, frame_w) frames — the shape
+    compressed-video rows take after an out-of-band transcode.  The
+    Spark plumbing (explode one row → many frame rows inside
+    mapInPandas, stable frame indices) is shared.  Expects columns
+    (video_id, bytes[, fmt]); ``on_error='skip'`` quarantines corrupt
+    containers.
     """
     frame_px = frame_w * frame_h
+    has_fmt = "fmt" in videos.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids, idxs, frames = [], [], []
             for r in pdf.itertuples():
-                buf = np.frombuffer(r.bytes, dtype=np.int16)
-                n_frames = len(buf) // frame_px
-                for i in range(0, n_frames, every_k):
+                fmt = getattr(r, "fmt", "rawi16") if has_fmt else "rawi16"
+                try:
+                    if fmt == "gif":
+                        decoded = codec.decode_gif_frames(bytes(r.bytes))
+                        lumas = [
+                            np.round(
+                                0.299 * f[..., 0].astype(np.float64)
+                                + 0.587 * f[..., 1]
+                                + 0.114 * f[..., 2]
+                            ).astype(np.int16)
+                            for f in decoded
+                        ]
+                        if lumas and lumas[0].shape != (frame_h, frame_w):
+                            raise ValueError(
+                                f"gif canvas {lumas[0].shape} != "
+                                f"({frame_h}, {frame_w})"
+                            )
+                    elif fmt == "rawi16":
+                        buf = np.frombuffer(r.bytes, dtype=np.int16)
+                        n_frames = len(buf) // frame_px
+                        lumas = [
+                            buf[i * frame_px : (i + 1) * frame_px]
+                            for i in range(n_frames)
+                        ]
+                    else:
+                        raise NotImplementedError(
+                            f"no video decoder for format {fmt!r}"
+                        )
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for i in range(0, len(lumas), every_k):
                     vids.append(r.video_id)
                     idxs.append(i)
-                    frames.append(
-                        buf[i * frame_px : (i + 1) * frame_px].tobytes()
-                    )
+                    frames.append(lumas[i].tobytes())
             yield pd.DataFrame(
                 {"video_id": vids, "frame_idx": idxs, "frame": frames}
             )

@@ -399,3 +399,75 @@ def test_gif_rejects_bad_inputs():
     del data[13 + 3 * 8 : 13 + 3 * 256]  # drop the rest of the palette
     with pytest.raises(ValueError):
         codec.decode_gif(bytes(data))
+
+
+def test_gif_animated_compositing_and_disposal():
+    """Animated GIF: sub-rect frames composite onto the canvas; GCE
+    disposal 2 restores the rect to background, 3 restores the previous
+    canvas; transparent pixels leave the canvas untouched."""
+    base = np.full((6, 8), 10, np.uint8)
+    patch = np.full((2, 3), 200, np.uint8)
+    patch2 = np.full((2, 3), 30, np.uint8)
+    blob = codec.encode_gif_anim(
+        [base, patch, patch2],
+        rects=[None, (2, 1), (4, 3)],
+        disposals=[0, 3, 0],
+    )
+    f = codec.decode_gif_frames(blob)
+    assert len(f) == 3 and f[0].shape == (6, 8, 3)
+    assert (f[0][..., 0] == 10).all()
+    # frame 1: patch at (x=2, y=1) over frame 0
+    want1 = base.copy()
+    want1[1:3, 2:5] = 200
+    assert np.array_equal(f[1][..., 0], want1)
+    # disposal 3 after frame 1 → frame 2 composites onto frame 0, not 1
+    want2 = base.copy()
+    want2[3:5, 4:7] = 30
+    assert np.array_equal(f[2][..., 0], want2)
+
+    # disposal 2: rect goes back to the background color (index 77)
+    blob2 = codec.encode_gif_anim(
+        [base, patch, patch2],
+        rects=[None, (2, 1), (4, 3)],
+        disposals=[2, 2, 0],
+        bg_index=77,
+    )
+    g = codec.decode_gif_frames(blob2)
+    want2b = np.full((6, 8), 77, np.uint8)  # frame 0's rect = full canvas
+    want2b[1:3, 2:5] = 200
+    assert np.array_equal(g[1][..., 0], want2b)
+    want2c = np.full((6, 8), 77, np.uint8)
+    want2c[3:5, 4:7] = 30
+    assert np.array_equal(g[2][..., 0], want2c)
+
+
+def test_gif_animated_transparency():
+    """Pixels equal to the GCE transparent index are skipped during
+    compositing — the prior canvas shows through."""
+    base = np.full((4, 4), 50, np.uint8)
+    overlay = np.array([[200, 99], [99, 201]], np.uint8)  # 99 = holes
+    blob = codec.encode_gif_anim(
+        [base, overlay], rects=[None, (1, 1)], transparent=99
+    )
+    f = codec.decode_gif_frames(blob)
+    want = base.copy()
+    want[1, 1] = 200
+    want[2, 2] = 201  # the two 99s stay 50
+    assert np.array_equal(f[1][..., 0], want)
+
+
+def test_gif_animated_rejects_out_of_canvas_frame():
+    base = np.full((4, 4), 1, np.uint8)
+    patch = np.full((3, 3), 2, np.uint8)
+    blob = codec.encode_gif_anim([base, patch], rects=[None, (3, 3)])
+    with pytest.raises(ValueError):
+        codec.decode_gif_frames(blob)
+
+
+def test_decode_gif_first_frame_unchanged():
+    """decode_gif == first composited frame of the animated decoder."""
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6) * 10
+    single = codec.encode_gif_gray(img)
+    assert np.array_equal(codec.decode_gif(single)[..., 0], img)
+    anim = codec.encode_gif_anim([img, np.zeros((1, 1), np.uint8)])
+    assert np.array_equal(codec.decode_gif(anim)[..., 0], img)

@@ -106,6 +106,41 @@ def test_frame_sample(spark):
     assert f0.tolist() == [0, 1, 2, 3]
 
 
+def test_frame_sample_animated_gif(spark):
+    """Real video path: animated GIF rows decode frame-by-frame via the
+    from-scratch decoder; compositing means frame k is the full canvas."""
+    from demeton_spark import codec
+
+    base = np.full((4, 6), 10, np.uint8)
+    patch = np.full((2, 2), 250, np.uint8)
+    frames = [base] + [patch] * 4  # 5 frames, patches at varying spots
+    rects = [None, (0, 0), (2, 1), (4, 2), (1, 0)]
+    blob = codec.encode_gif_anim(frames, rects=rects)
+    rows = [
+        ("g0", bytearray(blob), "gif"),
+        ("bad", bytearray(b"GIF89a\x00"), "gif"),
+        ("r0", bytearray(np.arange(24 * 2, dtype=np.int16).tobytes()), "rawi16"),
+        ("h264", bytearray(b"\x00\x00\x01"), "h264"),  # unsupported codec
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    with pytest.raises(Exception):
+        multimodal.frame_sample(df, 6, 4, every_k=2).collect()
+    out = multimodal.frame_sample(df, 6, 4, every_k=2, on_error="skip").collect()
+    got = {(r["video_id"], r["frame_idx"]): r["frame"] for r in out}
+    assert set(got) == {("g0", 0), ("g0", 2), ("g0", 4), ("r0", 0)}
+    # frame 2 = base + patch at (x=2, y=1) composited over patch@(0,0)
+    want = base.astype(np.int16).copy()
+    want[0:2, 0:2] = 250
+    want[1:3, 2:4] = 250
+    have = np.frombuffer(got[("g0", 2)], dtype=np.int16).reshape(4, 6)
+    assert np.array_equal(have, want)
+    # canvas-size mismatch is a decode error → quarantined under skip
+    df_bad_size = spark.createDataFrame(
+        [("g1", bytearray(blob), "gif")], "video_id string, bytes binary, fmt string"
+    )
+    assert multimodal.frame_sample(df_bad_size, 5, 5, on_error="skip").count() == 0
+
+
 def test_audio_features_end_to_end(spark):
     """audio_features decodes real WAV/PCM payloads via mapInPandas and
     quarantines corrupt containers under on_error='skip'."""
