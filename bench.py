@@ -50,6 +50,8 @@ WORLD_BY_SF = {
 
 HEADLINE_QUERIES = [
     "tile_assign_events",
+    "geocell_assign",
+    "geocell_rollup",
     "tile_metadata_join",
     "bbox_cover",
     "polygon_clip",

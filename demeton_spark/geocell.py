@@ -1,0 +1,241 @@
+"""From-scratch S2-style hierarchical geocell index (vectorized).
+
+The build target names an "H3/S2 index" as the spatial-join backbone
+(BASELINE.json north_rule).  The engine's SRTM 1-degree grid
+(:mod:`demeton_spark.tiles`, reference Demeton/Dem/Funcs.fs:39-68)
+covers the raster side; this module adds the web-scale side: a
+hierarchical, Hilbert-ordered cell id per the public S2 geometry
+scheme (s2geometry.io "S2 Cell Hierarchy" — cube-face projection,
+quadratic ST transform, per-level Hilbert space-filling curve), built
+from the published math, not a port of any library.
+
+Why Hilbert order matters at 10^12 rows: cell ids at any level are a
+space-filling curve, so (a) every cell's descendants occupy ONE
+contiguous id range — a bbox cover compiles to a handful of range
+predicates that Iceberg/parquet min-max stats prune natively, and
+(b) sorting a table by cell id gives spatial locality per file, so a
+spatial join shuffles neighbors into the same partitions instead of
+spraying them.  Parent/child moves are pure integer arithmetic — no
+UDF in the rollup path (see queries.q_geocell_rollup).
+
+Layout of a full 64-bit id (S2 convention): 3 face bits, 2 bits per
+level of Hilbert position, one trailing ``1`` sentinel, zeros.  The
+compact id used in the query layer is ``face·4^L + pos`` (a bijection
+of the level-L id that stays positive in a signed 64-bit column for
+every level ≤ 30 — face 4/5 ids have bit 63 set in the S2 layout,
+which DuckDB's checked ``<<`` refuses to build).
+
+Everything is vectorized numpy over arrays of points; the per-level
+loop is O(level) python iterations of O(n) array ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 30
+
+# Hilbert curve tables (public S2 scheme).  Orientation is a 2-bit
+# state: bit0 = swap i/j, bit1 = invert both.
+_POS_TO_IJ = np.array(
+    [
+        [0, 1, 3, 2],  # canonical order
+        [0, 2, 3, 1],  # axes swapped
+        [3, 2, 0, 1],  # bits inverted
+        [3, 1, 0, 2],  # swapped & inverted
+    ],
+    dtype=np.uint8,
+)
+_IJ_TO_POS = np.empty_like(_POS_TO_IJ)
+for _o in range(4):
+    _IJ_TO_POS[_o, _POS_TO_IJ[_o]] = np.arange(4, dtype=np.uint8)
+_POS_TO_ORIENT = np.array([1, 0, 0, 3], dtype=np.uint8)
+_SWAP_MASK = 1
+
+
+def lonlat_to_xyz(lon_deg, lat_deg):
+    """Degrees → unit-sphere (x, y, z), vectorized."""
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    cos_lat = np.cos(lat)
+    return cos_lat * np.cos(lon), cos_lat * np.sin(lon), np.sin(lat)
+
+
+def xyz_to_face_uv(x, y, z):
+    """Cube-face projection: face in 0..5 plus (u, v) in [-1, 1].
+
+    Face conventions per the public S2 scheme: the dominant axis picks
+    the face (+x,+y,+z,-x,-y,-z → 0..5); ties resolve to the first
+    maximum (x over y over z) so the SQL twin's CASE chain matches."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    x_dom = (ax >= ay) & (ax >= az)
+    y_dom = ~x_dom & (ay >= az)
+    face = np.where(
+        x_dom,
+        np.where(x >= 0, 0, 3),
+        np.where(y_dom, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    u = np.empty_like(np.asarray(x, dtype=np.float64))
+    v = np.empty_like(u)
+    for f, (ue, ve, de) in enumerate(
+        (
+            (lambda: y, lambda: z, lambda: x),
+            (lambda: -x, lambda: z, lambda: y),
+            (lambda: -x, lambda: -y, lambda: z),
+            (lambda: z, lambda: y, lambda: x),
+            (lambda: z, lambda: -x, lambda: y),
+            (lambda: -y, lambda: -x, lambda: z),
+        )
+    ):
+        m = face == f
+        if np.any(m):
+            d = np.asarray(de(), dtype=np.float64)
+            u[m] = np.asarray(ue(), dtype=np.float64)[m] / d[m]
+            v[m] = np.asarray(ve(), dtype=np.float64)[m] / d[m]
+    return face, u, v
+
+
+def face_uv_to_xyz(face, u, v):
+    """Inverse of :func:`xyz_to_face_uv` (un-normalized direction)."""
+    face = np.asarray(face)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    one = np.ones_like(u)
+    xs = (one, -u, -u, -one, v, v)
+    ys = (u, one, -v, -v, -one, u)
+    zs = (v, v, one, -u, -u, -one)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f in range(6):
+        m = face == f
+        if np.any(m):
+            x[m], y[m], z[m] = xs[f][m], ys[f][m], zs[f][m]
+    return x, y, z
+
+
+def uv_to_st(u):
+    """Quadratic UV→ST transform (S2_QUADRATIC_PROJECTION)."""
+    u = np.asarray(u, dtype=np.float64)
+    # max/min keep the untaken np.where branch out of sqrt's domain
+    # error without changing the taken branch's value
+    return np.where(
+        u >= 0.0,
+        0.5 * np.sqrt(1.0 + 3.0 * np.maximum(u, 0.0)),
+        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * np.minimum(u, 0.0)),
+    )
+
+
+def st_to_uv(s):
+    """Inverse quadratic transform."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+def st_to_ij(s, level: int):
+    """ST in [0,1] → discrete cell coordinate in [0, 2^level)."""
+    n = 1 << level
+    i = np.floor(np.asarray(s, dtype=np.float64) * n).astype(np.int64)
+    return np.clip(i, 0, n - 1)
+
+
+def ij_to_pos(face, i, j, level: int):
+    """Hilbert encode: (face, i, j) at ``level`` → curve position.
+
+    Per-level 2-bit state machine (swap/invert orientation), initial
+    orientation from the face parity so the curve is continuous across
+    faces — vectorized with table lookups, O(level) passes."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    orient = (face & _SWAP_MASK).astype(np.uint8)
+    pos = np.zeros_like(i)
+    for k in range(level - 1, -1, -1):
+        ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        p = _IJ_TO_POS[orient, ij]
+        pos = (pos << 2) | p
+        orient = orient ^ _POS_TO_ORIENT[p]
+    return pos
+
+
+def pos_to_ij(face, pos, level: int):
+    """Hilbert decode: curve position → (i, j) at ``level``."""
+    face = np.asarray(face, dtype=np.int64)
+    pos = np.asarray(pos, dtype=np.int64)
+    orient = (face & _SWAP_MASK).astype(np.uint8)
+    i = np.zeros_like(pos)
+    j = np.zeros_like(pos)
+    for k in range(level - 1, -1, -1):
+        p = ((pos >> (2 * k)) & 3).astype(np.uint8)
+        ij = _POS_TO_IJ[orient, p]
+        i = (i << 1) | (ij >> 1)
+        j = (j << 1) | (ij & 1)
+        orient = orient ^ _POS_TO_ORIENT[p]
+    return i, j
+
+
+def lonlat_to_cell(lon_deg, lat_deg, level: int):
+    """Degrees → compact cell id ``face·4^level + hilbert_pos``."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in 0..{MAX_LEVEL}")
+    x, y, z = lonlat_to_xyz(lon_deg, lat_deg)
+    face, u, v = xyz_to_face_uv(x, y, z)
+    i = st_to_ij(uv_to_st(u), level)
+    j = st_to_ij(uv_to_st(v), level)
+    return face * (1 << (2 * level)) + ij_to_pos(face, i, j, level)
+
+
+def cell_to_lonlat(cell, level: int):
+    """Compact cell id → (lon_deg, lat_deg) of the cell center."""
+    cell = np.asarray(cell, dtype=np.int64)
+    quads = np.int64(1) << (2 * level)
+    face = cell // quads
+    pos = cell % quads
+    i, j = pos_to_ij(face, pos, level)
+    scale = 1.0 / (1 << level)
+    u = st_to_uv((i.astype(np.float64) + 0.5) * scale)
+    v = st_to_uv((j.astype(np.float64) + 0.5) * scale)
+    x, y, z = face_uv_to_xyz(face, u, v)
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    return lon, lat
+
+
+def cell_parent(cell, level: int, parent_level: int):
+    """Parent cell id — pure integer arithmetic, no trig.
+
+    ``face·4^L + pos → face·4^P + (pos >> 2(L−P))`` collapses to one
+    integer division by ``4^(L−P)``; this is what lets parent rollups
+    run Catalyst-only (and the same expression works in any SQL
+    engine)."""
+    if parent_level > level:
+        raise ValueError("parent_level must be <= level")
+    return np.asarray(cell, dtype=np.int64) // (1 << (2 * (level - parent_level)))
+
+
+def cell_to_s2_id(cell, level: int):
+    """Compact id → canonical 64-bit S2 cell id (int64 bit pattern,
+    negative for faces 4/5).  Trailing sentinel per the S2 layout."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    shift = np.uint64(61 - 2 * level)
+    return (
+        (cell << shift) | (np.uint64(1) << np.uint64(60 - 2 * level))
+    ).view(np.int64)
+
+
+def s2_id_to_cell(s2_id, level: int):
+    """Inverse of :func:`cell_to_s2_id` for ids at exactly ``level``."""
+    raw = np.asarray(s2_id, dtype=np.int64).view(np.uint64)
+    return (raw >> np.uint64(61 - 2 * level)).view(np.int64)
+
+
+def cell_range(cell, level: int, child_level: int):
+    """[min, max] compact ids at ``child_level`` covered by ``cell`` —
+    the contiguity that turns a cell cover into range predicates."""
+    step = np.int64(1) << (2 * (child_level - level))
+    base = np.asarray(cell, dtype=np.int64) * step
+    return base, base + step - 1

@@ -2956,11 +2956,257 @@ left join chainstats c on c.tx = t.tx and c.ty = t.ty and c.level = lv.level
 
 
 # ---------------------------------------------------------------------------
+# S2-style hierarchical geocell index (north_rule "H3/S2 index")
+# ---------------------------------------------------------------------------
+#
+# Catalyst-ONLY implementation: the cube-face projection, quadratic ST
+# transform and the per-level Hilbert state machine all compile to JVM
+# whole-stage-codegen expressions (the 2-bit orientation chain unrolls
+# into LEVEL chained CASEs) — zero Python in the hot path, unlike the
+# mapInPandas route demeton_spark.geocell also offers.  The DuckDB twin
+# below is generated from the same public tables but through an
+# independent chain of unrolled CTEs.
+
+GEOCELL_LEVEL = 12
+GEOCELL_PARENT_LEVEL = 5
+
+# Hilbert tables (public S2 scheme; see demeton_spark/geocell.py)
+_GC_IJ_TO_POS = (0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0)
+_GC_POS_TO_ORIENT = (1, 0, 0, 3)
+
+
+def _with_geocell(df: DataFrame, level: int, keep: list) -> DataFrame:
+    """Add (face, cell_id) for (lon, lat) columns, pure Catalyst.
+
+    The Hilbert orientation chain is emitted as one NAMED projection
+    per level (orientation feeds two consumers each level, so a single
+    inlined expression tree would double per level — 2^level nodes;
+    named columns keep it linear and let whole-stage codegen split
+    across projections)."""
+    lon, lat = F.col("lon"), F.col("lat")
+    x = F.cos(F.radians(lat)) * F.cos(F.radians(lon))
+    y = F.cos(F.radians(lat)) * F.sin(F.radians(lon))
+    z = F.sin(F.radians(lat))
+    df = df.select(*keep, x.alias("_x"), y.alias("_y"), z.alias("_z"))
+    x, y, z = F.col("_x"), F.col("_y"), F.col("_z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = (
+        F.when((ax >= ay) & (ax >= az), F.when(x >= 0, 0).otherwise(3))
+        .when(ay >= az, F.when(y >= 0, 1).otherwise(4))
+        .otherwise(F.when(z >= 0, 2).otherwise(5))
+    )
+    df = df.select(*keep, face.alias("face"), "_x", "_y", "_z")
+    face = F.col("face")
+    # ValidFaceXYZtoUV: divisor is the face's raw (possibly negative)
+    # dominant component
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, -x / y)
+        .when(face == 2, -x / z)
+        .when(face == 3, z / x)
+        .when(face == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, z / y)
+        .when(face == 2, -y / z)
+        .when(face == 3, y / x)
+        .when(face == 4, -x / y)
+        .otherwise(-x / z)
+    )
+
+    def st(c):
+        return F.when(
+            c >= 0, F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * c)
+        ).otherwise(F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * c))
+
+    n = 1 << level
+    df = df.select(*keep, "face", st(u).alias("_s"), st(v).alias("_t"))
+
+    def ij(c):
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(n - 1).cast("long"), F.floor(c * n).cast("long")),
+        )
+
+    df = df.select(
+        *keep,
+        "face",
+        ij(F.col("_s")).alias("_i"),
+        ij(F.col("_t")).alias("_j"),
+        (face % 2).cast("int").alias("_o"),
+        F.lit(0).cast("long").alias("_pos"),
+    )
+    i, j = F.col("_i"), F.col("_j")
+    for k in range(level - 1, -1, -1):
+        key = F.col("_o") * 4 + (
+            (F.shiftright(i, k) % 2) * 2 + F.shiftright(j, k) % 2
+        ).cast("int")
+        p = F.when(key == 0, _GC_IJ_TO_POS[0])
+        for c in range(1, 16):
+            p = p.when(key == c, _GC_IJ_TO_POS[c])
+        df = df.select(
+            *keep, "face", "_i", "_j", "_o", "_pos", p.cast("int").alias("_p")
+        )
+        df = df.select(
+            *keep,
+            "face",
+            "_i",
+            "_j",
+            (F.col("_pos") * 4 + F.col("_p")).alias("_pos"),
+            F.col("_o")
+            .bitwiseXOR(
+                F.when(F.col("_p") == 0, 1).when(F.col("_p") == 3, 3).otherwise(0)
+            )
+            .alias("_o"),
+        )
+    return df.select(
+        *keep,
+        F.col("face").cast("int").alias("face"),
+        (F.col("face").cast("long") * (1 << (2 * level)) + F.col("_pos")).alias(
+            "cell_id"
+        ),
+    )
+
+
+def q_geocell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every event point to its level-12 S2-style geocell and
+    aggregate — the "H3/S2 cell encoding assigns every row" join from
+    the north rule, Catalyst-only (one hash-agg shuffle; no UDF)."""
+    pts = _pts(spark, sf_dir)
+    cells = _with_geocell(pts, GEOCELL_LEVEL, keep=["value"])
+    return (
+        cells.groupBy("face", "cell_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def q_geocell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll level-12 cells up to their level-5 Hilbert parents.
+
+    Parent id = one integer division (compact id ``face·4^L + pos``);
+    the hierarchy never re-touches trig — this is the query shape a
+    10^12-row table uses to build coarse skew statistics, and because
+    child ids of a parent are CONTIGUOUS, at scale it reads an
+    Iceberg table sorted by cell_id with near-perfect file pruning."""
+    cells = q_geocell_assign(spark, sf_dir)
+    step = 1 << (2 * (GEOCELL_LEVEL - GEOCELL_PARENT_LEVEL))
+    return (
+        cells.groupBy(
+            F.expr(f"cell_id div {step}").alias("parent_cell")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("n_child_cells"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def _geocell_assign_sql(level: int) -> str:
+    """Generate the DuckDB twin: same public math, independent code
+    path (unrolled CTE chain for the Hilbert orientation chain)."""
+    n = 1 << level
+    ij2pos_cases = " ".join(
+        f"when {c} then {_GC_IJ_TO_POS[c]}" for c in range(16)
+    )
+    steps = []
+    prev = "st2"
+    for idx, k in enumerate(range(level - 1, -1, -1)):
+        cur = f"h{idx}"
+        steps.append(
+            f"""{cur} as (
+  select event_id, value, face,
+         pos * 4 + p as pos,
+         xor(orient, case p when 0 then 1 when 3 then 3 else 0 end) as orient,
+         i, j
+  from (
+    select *, (case orient * 4 + ((i // {1 << k}) % 2) * 2 + ((j // {1 << k}) % 2)
+               {ij2pos_cases} end) as p
+    from {prev}
+  )
+)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+with pts as ({_PTS_SQL}),
+xyz as (
+  select event_id, value,
+         cos(radians(lat)) * cos(radians(lon)) as x,
+         cos(radians(lat)) * sin(radians(lon)) as y,
+         sin(radians(lat)) as z
+  from pts
+),
+fuv as (
+  select event_id, value,
+         case when abs(x) >= abs(y) and abs(x) >= abs(z)
+              then case when x >= 0 then 0 else 3 end
+              when abs(y) >= abs(z)
+              then case when y >= 0 then 1 else 4 end
+              else case when z >= 0 then 2 else 5 end end as face,
+         x, y, z
+  from xyz
+),
+uv as (
+  select event_id, value, face,
+         case face when 0 then y / x when 1 then -x / y when 2 then -x / z
+                   when 3 then z / x when 4 then z / y else -y / z end as u,
+         case face when 0 then z / x when 1 then z / y when 2 then -y / z
+                   when 3 then y / x when 4 then -x / y else -x / z end as v
+  from fuv
+),
+st as (
+  select event_id, value, face,
+         greatest(0, least({n - 1}, cast(floor(
+           (case when u >= 0 then 0.5 * sqrt(1 + 3 * u)
+                 else 1 - 0.5 * sqrt(1 - 3 * u) end) * {n}) as bigint))) as i,
+         greatest(0, least({n - 1}, cast(floor(
+           (case when v >= 0 then 0.5 * sqrt(1 + 3 * v)
+                 else 1 - 0.5 * sqrt(1 - 3 * v) end) * {n}) as bigint))) as j
+  from uv
+),
+st2 as (
+  select event_id, value, face, face % 2 as orient,
+         cast(0 as bigint) as pos, i, j
+  from st
+),
+{chain}
+select cast(face as int) as face,
+       cast(face as bigint) * {1 << (2 * level)} + pos as cell_id,
+       cast(count(*) as bigint) as n_events,
+       round(sum(value), 6) as sum_value
+from {prev}
+group by 1, 2
+"""
+
+
+SQL_GEOCELL_ASSIGN = _geocell_assign_sql(GEOCELL_LEVEL)
+
+SQL_GEOCELL_ROLLUP = f"""
+with cells as ({SQL_GEOCELL_ASSIGN})
+select cast(cell_id // {1 << (2 * (GEOCELL_LEVEL - GEOCELL_PARENT_LEVEL))} as bigint)
+         as parent_cell,
+       cast(sum(n_events) as bigint) as n_events,
+       cast(count(*) as bigint) as n_child_cells,
+       round(sum(sum_value), 6) as sum_value
+from cells
+group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "tile_assign_events": q_tile_assign_events,
+    "geocell_assign": q_geocell_assign,
+    "geocell_rollup": q_geocell_rollup,
     "bbox_cover": q_bbox_cover,
     "polygon_clip": q_polygon_clip,
     "pyramid_parents": q_pyramid_parents,
@@ -3001,6 +3247,8 @@ QUERIES = {
 
 ORACLES = {
     "tile_assign_events": SQL_TILE_ASSIGN_EVENTS,
+    "geocell_assign": SQL_GEOCELL_ASSIGN,
+    "geocell_rollup": SQL_GEOCELL_ROLLUP,
     "bbox_cover": SQL_BBOX_COVER,
     "polygon_clip": SQL_POLYGON_CLIP,
     "pyramid_parents": SQL_PYRAMID_PARENTS,
