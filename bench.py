@@ -85,6 +85,8 @@ HEADLINE_QUERIES = [
     "knn_bruteforce",
     "knn_ivf_bucketed",
     "knn_ivf_recall",
+    "kmeans_centroids",
+    "knn_ivf_kmeans",
     "emb_near_dup_pairs",
     "emb_near_dup_recall",
     "embedding_label_stats",

@@ -2466,6 +2466,323 @@ group by e.query_id
 
 
 # ---------------------------------------------------------------------------
+# k-means-trained IVF: the production coarse quantizer
+# ---------------------------------------------------------------------------
+#
+# The hyperplane-LSH IVF above is data-independent; a TRAINED coarse
+# quantizer (Lloyd's k-means, the IVF-Flat layout every production ANN
+# store uses) adapts the inverted lists to the corpus.  Distributed
+# shape per Lloyd iteration: assignment is a broadcast of K·D centroid
+# literals into a Catalyst fold (no Python, no shuffle), the update is
+# ONE hash-agg shuffle on (cluster, dim) with map-side partial
+# aggregation — K·D·partitions rows cross the wire, not N·D — and the
+# K·D result collects to the driver as the next model (the same
+# "collect the model, not the data" loop MLlib's KMeans uses).
+# Centroids are quantized to 6 decimals each iteration so the
+# assignment cascade is bit-identical between Spark and the DuckDB
+# twin regardless of either engine's float accumulation order.
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_NPROBE = 2
+_KM_DIMS = 64
+
+
+def _km_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _km_dist(v, cent: list):
+    """‖v−c‖² as dot(v,v) − 2·dot(v,c) + dot(c,c): all three terms are
+    the same sequential fold DuckDB's list_dot_product runs, so both
+    engines produce the identical double."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    cc = float(sum(x * x for x in cent))  # scalar, exact same literal in SQL
+    return _dot(v, v) - 2.0 * _dot(v, c) + F.lit(cc)
+
+
+def _km_assign_col(v, centroids: list):
+    """argmin over K centroid distances; ties → lowest cluster id
+    (array_position returns the FIRST index of the minimum)."""
+    dists = F.array(*[_km_dist(v, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    """Run KMEANS_ITERS Lloyd iterations; return (centroids, emb)."""
+    emb = _km_emb(spark, sf_dir).localCheckpoint()
+    init = {
+        r["vec_id"]: r["v"]
+        for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
+    }
+    centroids = [
+        [round(x, 6) for x in init[c]] for c in range(KMEANS_K)
+    ]
+    for _ in range(KMEANS_ITERS):
+        assigned = emb.select(
+            _km_assign_col(F.col("v"), centroids).alias("cluster"), "v"
+        )
+        parts = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cluster keeps its centroid
+        for r in parts:
+            new[r["cluster"]][r["dim"]] = r["c"]
+        centroids = new
+    return centroids, emb
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted k-means model: per-(cluster, dim) centroid values plus
+    member counts after KMEANS_ITERS quantized Lloyd iterations."""
+    centroids, emb = _km_fit(spark, sf_dir)
+    assigned = emb.select(
+        "vec_id", _km_assign_col(F.col("v"), centroids).alias("cluster")
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    cent_rows = [
+        (c, d, centroids[c][d])
+        for c in range(KMEANS_K)
+        for d in range(_KM_DIMS)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cluster int, dim int, centroid double")
+    return cent_df.join(sizes, "cluster", "left").select(
+        "cluster",
+        "dim",
+        "centroid",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
+    )
+
+
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat search over the trained quantizer: each probe scans the
+    union of its NPROBE nearest centroids' inverted lists, then ranks
+    by exact cosine (top-3).  At scale the lists live as an Iceberg
+    table bucketed by cluster; a probe reads NPROBE/K of the corpus."""
+    from pyspark.sql import Window
+
+    centroids, emb = _km_fit(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    lists = normed.select(
+        "vec_id", "v", "norm",
+        _km_assign_col(F.col("v"), centroids).alias("cluster"),
+    ).localCheckpoint()
+    probes = lists.where(F.col("vec_id") < 5)
+    # NPROBE nearest centroids per probe: rank the K distances inline
+    dists = F.array(
+        *[_km_dist(F.col("v"), c) for c in centroids]
+    )
+    probe_clusters = (
+        probes.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.posexplode(dists).alias("cluster", "cdist"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("cdist", "cluster")
+            ),
+        )
+        .where(F.col("crank") <= KMEANS_NPROBE)
+        .select("query_id", "qv", "qnorm", "cluster")
+    )
+    scored = (
+        probe_clusters.join(lists, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_knn_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the trained-IVF search vs exact brute force."""
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_knn_ivf_kmeans(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("int").alias("k"),
+            F.sum(
+                F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("hits"),
+            F.round(
+                F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _km_sql_dist(vcol: str, ccol: str) -> str:
+    return (
+        f"list_dot_product({vcol}, {vcol})"
+        f" - 2 * list_dot_product({vcol}, {ccol})"
+        f" + list_dot_product({ccol}, {ccol})"
+    )
+
+
+def _kmeans_fit_sql() -> str:
+    """CTE chain running the same quantized Lloyd cascade in DuckDB.
+
+    Iteration t: cross join vecs × K centroids (K rows — benign),
+    first-min argmin via row_number ordered (dist, cluster), then
+    per-(cluster, dim) avg rounded to 6 decimals, re-assembled into
+    centroid lists; empty clusters inherit the previous centroid."""
+    steps = [
+        """emb as (
+  select cast(vec_id as bigint) as vec_id,
+         list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+),
+cent0 as (
+  select cast(vec_id as int) as cluster,
+         list_transform(v, x -> round(x, 6)) as c
+  from emb where vec_id < {K}
+)""".format(K=KMEANS_K)
+    ]
+    prev = "cent0"
+    for t in range(1, KMEANS_ITERS + 1):
+        dist = _km_sql_dist("e.v", "k.c")
+        steps.append(
+            f"""asg{t} as (
+  select vec_id, v, cluster from (
+    select e.vec_id, e.v, k.cluster,
+           row_number() over (partition by e.vec_id
+                              order by {dist}, k.cluster) as rn
+    from emb e cross join {prev} k
+  ) where rn = 1
+),
+upd{t} as (
+  select cluster, dim, round(avg(x), 6) as c
+  from (
+    select cluster, unnest(v) as x, generate_subscripts(v, 1) - 1 as dim
+    from asg{t}
+  )
+  group by cluster, dim
+),
+cent{t} as (
+  select p.cluster,
+         coalesce(u.c, p.c) as c
+  from {prev} p
+  left join (select cluster, list(c order by dim) as c from upd{t}
+             group by cluster) u
+    on u.cluster = p.cluster
+)"""
+        )
+        prev = f"cent{t}"
+    return ",\n".join(steps), prev
+
+
+_KM_SQL_CHAIN, _KM_SQL_FINAL = _kmeans_fit_sql()
+
+SQL_KMEANS_CENTROIDS = f"""
+with {_KM_SQL_CHAIN},
+final_assign as (
+  select vec_id, cluster from (
+    select e.vec_id, k.cluster,
+           row_number() over (partition by e.vec_id
+                              order by {_km_sql_dist("e.v", "k.c")}, k.cluster) as rn
+    from emb e cross join {_KM_SQL_FINAL} k
+  ) where rn = 1
+),
+sizes as (select cluster, count(*) as n from final_assign group by cluster)
+select cast(k.cluster as int) as cluster,
+       cast(d.dim as int) as dim,
+       k.c[d.dim + 1] as centroid,
+       cast(coalesce(s.n, 0) as bigint) as n_members
+from {_KM_SQL_FINAL} k
+cross join (select unnest(generate_series(0, {_KM_DIMS - 1})) as dim) d
+left join sizes s on s.cluster = k.cluster
+"""
+
+SQL_KNN_IVF_KMEANS = f"""
+with {_KM_SQL_CHAIN},
+normed as (
+  select vec_id, v, sqrt(list_dot_product(v, v)) as norm from emb
+),
+lists as (
+  select n.vec_id, n.v, n.norm, a.cluster
+  from normed n
+  join (
+    select vec_id, cluster from (
+      select e.vec_id, k.cluster,
+             row_number() over (partition by e.vec_id
+                                order by {_km_sql_dist("e.v", "k.c")}, k.cluster) as rn
+      from emb e cross join {_KM_SQL_FINAL} k
+    ) where rn = 1
+  ) a on a.vec_id = n.vec_id
+),
+probe_clusters as (
+  select query_id, qv, qnorm, cluster from (
+    select p.vec_id as query_id, p.v as qv, p.norm as qnorm, k.cluster,
+           row_number() over (partition by p.vec_id
+                              order by {_km_sql_dist("p.v", "k.c")}, k.cluster) as crank
+    from (select * from lists where vec_id < 5) p
+    cross join {_KM_SQL_FINAL} k
+  ) where crank <= {KMEANS_NPROBE}
+),
+scored as (
+  select p.query_id, l.vec_id as neighbor_id,
+         round(list_dot_product(p.qv, l.v) / (p.qnorm * l.norm), 6) as cosine
+  from probe_clusters p
+  join lists l on l.cluster = p.cluster and l.vec_id <> p.query_id
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank from (
+  select *, row_number() over (partition by query_id
+                               order by cosine desc, neighbor_id) as rank
+  from scored
+) where rank <= 3
+"""
+
+SQL_KNN_IVF_KMEANS_RECALL = f"""
+with exact as ({SQL_KNN_BRUTEFORCE}),
+approx as ({SQL_KNN_IVF_KMEANS})
+select e.query_id,
+       cast(count(*) as int) as k,
+       cast(sum(case when a.neighbor_id is not null then 1 else 0 end) as int)
+           as hits,
+       round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+             * 1.0 / count(*), 6) as recall
+from exact e
+left join approx a
+  on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
+group by e.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # oracles for raster contract queries (the synthetic world, in SQL)
 # ---------------------------------------------------------------------------
 #
@@ -3240,6 +3557,9 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf_bucketed": q_knn_ivf_bucketed,
     "knn_ivf_recall": q_knn_ivf_recall,
+    "kmeans_centroids": q_kmeans_centroids,
+    "knn_ivf_kmeans": q_knn_ivf_kmeans,
+    "knn_ivf_kmeans_recall": q_knn_ivf_kmeans_recall,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "emb_near_dup_recall": q_emb_near_dup_recall,
     "embedding_label_stats": q_embedding_label_stats,
@@ -3282,6 +3602,9 @@ ORACLES = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
     "knn_ivf_recall": SQL_KNN_IVF_RECALL,
+    "kmeans_centroids": SQL_KMEANS_CENTROIDS,
+    "knn_ivf_kmeans": SQL_KNN_IVF_KMEANS,
+    "knn_ivf_kmeans_recall": SQL_KNN_IVF_KMEANS_RECALL,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
     "emb_near_dup_recall": SQL_EMB_NEAR_DUP_RECALL,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,

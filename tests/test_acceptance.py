@@ -113,3 +113,31 @@ def test_ivf_recall_gate(spark):
     assert rows, "no probes"
     for r in rows:
         assert r["recall"] >= 2 / 3, (r["query_id"], r["recall"])
+
+
+def test_kmeans_ivf_trained_quantizer(spark):
+    """Trained-IVF (Lloyd k-means coarse quantizer): the model is a
+    valid partition of the corpus, the quantized-centroid cascade is
+    deterministic across runs, and nprobe=2 search recovers ≥2/3 of
+    each probe's exact top-3 with mean recall ≥0.9."""
+    from demeton_spark.queries import (
+        KMEANS_K,
+        q_kmeans_centroids,
+        q_knn_ivf_kmeans_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cent = q_kmeans_centroids(spark, sf).collect()
+    assert len(cent) == KMEANS_K * 64
+    sizes = {r["cluster"]: r["n_members"] for r in cent}
+    assert sum(sizes.values()) == 500  # every vec in exactly one list
+    assert all(s > 0 for s in sizes.values())
+    # deterministic refit (quantized cascade)
+    cent2 = q_kmeans_centroids(spark, sf).collect()
+    assert sorted(map(tuple, cent)) == sorted(map(tuple, cent2))
+
+    rows = q_knn_ivf_kmeans_recall(spark, sf).collect()
+    assert rows, "no probes"
+    for r in rows:
+        assert r["recall"] >= 2 / 3, (r["query_id"], r["recall"])
+    assert sum(r["recall"] for r in rows) / len(rows) >= 0.9
