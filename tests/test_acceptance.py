@@ -132,7 +132,11 @@ def test_kmeans_ivf_trained_quantizer(spark):
     sizes = {r["cluster"]: r["n_members"] for r in cent}
     assert sum(sizes.values()) == 500  # every vec in exactly one list
     assert all(s > 0 for s in sizes.values())
-    # deterministic refit (quantized cascade)
+    # deterministic refit (quantized cascade) — drop the model memo so
+    # the second call really re-runs Lloyd from scratch
+    from demeton_spark import queries as _q
+
+    _q._KM_MEMO.clear()
     cent2 = q_kmeans_centroids(spark, sf).collect()
     assert sorted(map(tuple, cent)) == sorted(map(tuple, cent2))
 
