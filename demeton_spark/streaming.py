@@ -66,6 +66,46 @@ def windowed_event_counts(
     )
 
 
+def geocell_event_counts(
+    events: DataFrame,
+    level: int = 8,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-geocell event counts: the streaming face of the
+    S2-style cell index (queries.geocell_assign) — each event row is
+    cell-encoded by the same Catalyst-only Hilbert chain (stateless
+    projections, so it runs unchanged under Structured Streaming) and
+    aggregated per (tumbling window, cell).  This is the live-ingest
+    shape of the north rule's "assign every row via the cell index":
+    watermark bounds the state store, and the (window, cell) key is
+    what a 10^12-row firehose shards its state on."""
+    from .queries import _with_geocell
+
+    ts = F.col("ts").cast("timestamp")
+    pts = events.withColumn("ts", ts).select(
+        "ts",
+        "value",
+        (F.lit(-179.5) + (F.col("event_id") % 359)).alias("lon"),
+        (F.lit(-89.5) + (F.col("user_id") % 179)).alias("lat"),
+    )
+    cells = _with_geocell(pts, level, keep=["ts", "value"])
+    return (
+        cells.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "cell_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "cell_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame,
     gap: str = "1 hour",

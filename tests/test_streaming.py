@@ -327,3 +327,31 @@ def test_streaming_exact_dedup_matches_batch_keep_list(spark, tmp_path):
     ).collect()
     assert {r["image_id"] for r in got} == keep_ids
     assert len(got) == len(keep_ids)  # one emission per phash, ever
+
+
+def test_geocell_counts_stream_equals_batch(spark, events_dir, tmp_path):
+    """The Catalyst geocell encode is stateless projections, so the
+    same plan runs under Structured Streaming: windowed per-cell counts
+    from the stream equal the batch run, and cells are valid level-8
+    compact ids."""
+    stream_in = streaming.read_events_stream(
+        spark, events_dir, max_files_per_trigger=1
+    )
+    got = streaming.run_to_memory(
+        streaming.geocell_event_counts(stream_in),
+        "cell_counts",
+        str(tmp_path / "ckpt_cells"),
+        output_mode="complete",
+    ).collect()
+
+    batch = streaming.geocell_event_counts(
+        spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir)
+    ).collect()
+
+    canon = lambda rows: sorted(  # noqa: E731
+        (r["window_start"], r["cell_id"], r["n_events"], r["sum_value"])
+        for r in rows
+    )
+    assert canon(got) == canon(batch)
+    assert len(batch) > 0
+    assert all(0 <= r["cell_id"] < 6 * 4**8 for r in batch)
