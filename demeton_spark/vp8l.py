@@ -711,16 +711,158 @@ def _emit_prefix_value(bw: _BitWriter, codes, v: int) -> tuple[int, int, int]:
     return c, extra, ebits
 
 
+def _length_prefix_code(v: int) -> int:
+    if v <= 4:
+        return v - 1
+    u = v - 1
+    hb = u.bit_length() - 1
+    return 2 * hb if u < (3 << hb - 1) else 2 * hb + 1
+
+
+def _write_entropy_image(
+    bw: _BitWriter,
+    flat: np.ndarray,
+    w: int,
+    is_argb: bool,
+    cache_bits: int = 0,
+    rle: bool = False,
+    meta_bits: int = 0,
+    meta_groups: np.ndarray | None = None,
+) -> None:
+    """Emit one entropy-coded image (spec §5.2.4): optional color-cache
+    header, optional meta-prefix subimage (main image only), per-group
+    canonical prefix codes, then the symbol stream."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+
+    group_of = None
+    num_groups = 1
+    if is_argb:
+        if meta_bits:
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            num_groups = int(meta_groups.max()) + 1
+            # subimage pixel encodes its group in (red<<8 | green)
+            sub = ((meta_groups.astype(np.uint32) >> 8) << 16) | (
+                (meta_groups.astype(np.uint32) & 0xFF) << 8
+            )
+            _write_entropy_image(bw, sub.reshape(-1), sub.shape[1], False)
+
+            def group_of(pos: int) -> int:
+                y, x = divmod(pos, w)
+                return int(meta_groups[y >> meta_bits, x >> meta_bits])
+
+        else:
+            bw.write(0, 1)
+
+    # tokenize: (kind, payload) with kind in literal/run/cache
+    tokens: list[tuple[str, int]] = []
+    cache = [0] * cache_size
+    i = 0
+    total = len(flat)
+    while i < total:
+        px = int(flat[i])
+        if rle and i > 0 and px == int(flat[i - 1]):
+            run = 1
+            while i + run < total and int(flat[i + run]) == px and run < 4096:
+                run += 1
+            tokens.append(("run", run, i))
+            if cache_size:
+                idx = ((_CACHE_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+                cache[idx] = px
+            i += run
+            continue
+        if cache_size:
+            idx = ((_CACHE_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[idx] == px and i > 0:
+                tokens.append(("cache", idx, i))
+                i += 1
+                continue
+            cache[idx] = px
+        tokens.append(("literal", px, i))
+        i += 1
+
+    # per-group frequencies (distance codes are shared per group too)
+    def fresh():
+        return {}, {}, {}, {}, {1: 1}  # g/r/b/a/d
+
+    freqs = [fresh() for _ in range(num_groups)]
+    for kind, v, pos in tokens:
+        grp = group_of(pos) if group_of else 0
+        gf, rf, bf, af, df = freqs[grp]
+        if kind == "literal":
+            a, r, g, b = _channels(v)
+            gf[g] = gf.get(g, 0) + 1
+            rf[r] = rf.get(r, 0) + 1
+            bf[b] = bf.get(b, 0) + 1
+            af[a] = af.get(a, 0) + 1
+        elif kind == "run":
+            c = 256 + _length_prefix_code(v)
+            gf[c] = gf.get(c, 0) + 1
+        else:
+            c = 256 + _N_LENGTH_CODES + v
+            gf[c] = gf.get(c, 0) + 1
+
+    group_codes = []
+    for gf, rf, bf, af, df in freqs:
+        if not gf:
+            gf = {0: 1}
+        if not rf:
+            rf = {0: 1}
+            bf = {0: 1}
+            af = {255: 1}
+        group_codes.append(
+            (
+                _write_prefix_code(
+                    bw, _huffman_lengths(gf), 256 + 24 + cache_size
+                ),
+                _write_prefix_code(bw, _huffman_lengths(rf), 256),
+                _write_prefix_code(bw, _huffman_lengths(bf), 256),
+                _write_prefix_code(bw, _huffman_lengths(af), 256),
+                _write_prefix_code(bw, _huffman_lengths(df), 40),
+            )
+        )
+
+    for kind, v, pos in tokens:
+        g_codes, r_codes, b_codes, a_codes, d_codes = group_codes[
+            group_of(pos) if group_of else 0
+        ]
+        if kind == "literal":
+            a, r, g, b = _channels(v)
+            _emit_symbol(bw, g_codes, g)
+            _emit_symbol(bw, r_codes, r)
+            _emit_symbol(bw, b_codes, b)
+            _emit_symbol(bw, a_codes, a)
+        elif kind == "run":
+            c = 256 + _length_prefix_code(v)
+            _emit_symbol(bw, g_codes, c)
+            if c >= 260:
+                ebits = (c - 256 - 2) >> 1
+                offset = (2 + ((c - 256) & 1)) << ebits
+                bw.write(v - 1 - offset, ebits)
+            _emit_symbol(bw, d_codes, 1)  # dist prefix value 2 → distance 1
+        else:
+            _emit_symbol(bw, g_codes, 256 + _N_LENGTH_CODES + v)
+
+
 def encode_webp(
     img: np.ndarray,
     subtract_green: bool = False,
     cache_bits: int = 0,
     rle: bool = False,
+    palette: bool = False,
+    meta_bits: int = 0,
 ) -> bytes:
     """uint8 gray ``(h, w)``, RGB ``(h, w, 3)`` or RGBA ``(h, w, 4)`` →
     lossless RIFF/WEBP bytes.  Fixture-grade: literals + optional
     distance-1 LZ77 runs + optional color cache + optional
-    subtract-green transform; real canonical Huffman codes throughout."""
+    subtract-green / color-indexing (palette + sub-byte bundling)
+    transforms + optional meta prefix codes (checkerboard groups);
+    real canonical Huffman codes throughout."""
     if img.ndim == 2:
         rgba = np.stack([img, img, img, np.full_like(img, 255)], axis=-1)
     elif img.shape[-1] == 3:
@@ -736,111 +878,75 @@ def encode_webp(
         | (rgba[..., 1].astype(np.uint32) << 8)
         | rgba[..., 2].astype(np.uint32)
     )
-    if subtract_green:
-        g = (argb >> 8) & 0xFF
-        r = (((argb >> 16) & 0xFF) - g) & 0xFF
-        b = ((argb & 0xFF) - g) & 0xFF
-        argb = (argb & 0xFF00FF00) | (r << 16) | b
-    flat = argb.reshape(-1)
-
-    cache_size = (1 << cache_bits) if cache_bits else 0
-
-    # tokenize: (kind, payload) with kind in literal/run/cache
-    tokens: list[tuple[str, int]] = []
-    cache = [0] * cache_size
-    i = 0
-    total = len(flat)
-    while i < total:
-        px = int(flat[i])
-        if rle and i > 0 and px == int(flat[i - 1]):
-            run = 1
-            while i + run < total and int(flat[i + run]) == px and run < 4096:
-                run += 1
-            tokens.append(("run", run))
-            if cache_size:
-                idx = ((_CACHE_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)
-                cache[idx] = px
-            i += run
-            continue
-        if cache_size:
-            idx = ((_CACHE_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)
-            if cache[idx] == px and i > 0:
-                tokens.append(("cache", idx))
-                i += 1
-                continue
-            cache[idx] = px
-        tokens.append(("literal", px))
-        i += 1
-
-    # frequencies
-    def length_prefix_code(v: int) -> int:
-        if v <= 4:
-            return v - 1
-        u = v - 1
-        hb = u.bit_length() - 1
-        return 2 * hb if u < (3 << hb - 1) else 2 * hb + 1
-
-    gf: dict[int, int] = {}
-    rf: dict[int, int] = {}
-    bf: dict[int, int] = {}
-    af: dict[int, int] = {}
-    df: dict[int, int] = {1: 1}  # dist prefix value 2 → code 1
-    pos = 0
-    for kind, v in tokens:
-        if kind == "literal":
-            a, r, g, b = _channels(v)
-            gf[g] = gf.get(g, 0) + 1
-            rf[r] = rf.get(r, 0) + 1
-            bf[b] = bf.get(b, 0) + 1
-            af[a] = af.get(a, 0) + 1
-        elif kind == "run":
-            c = 256 + length_prefix_code(v)
-            gf[c] = gf.get(c, 0) + 1
-        else:
-            c = 256 + _N_LENGTH_CODES + v
-            gf[c] = gf.get(c, 0) + 1
-    if not rf:
-        rf = {0: 1}
-        bf = {0: 1}
-        af = {255: 1}
 
     bw = _BitWriter()
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
     bw.write(0, 1)  # alpha hint
     bw.write(0, 3)  # version
-    if subtract_green:
+
+    enc_w = w
+    if palette:
+        if subtract_green:
+            raise ValueError("fixture encoder: palette excludes other transforms")
+        pal, inverse = np.unique(argb.reshape(-1), return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(f"too many colors for palette: {len(pal)}")
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(pal) - 1, 8)
+        # delta-coded palette row as a (len, 1) subimage
+        deltas = np.empty(len(pal), dtype=np.uint32)
+        prev = 0
+        for k, p in enumerate(pal):
+            d = 0
+            for shift in (24, 16, 8, 0):
+                d |= ((((int(p) >> shift) & 0xFF) - ((prev >> shift) & 0xFF)) & 0xFF) << shift
+            deltas[k] = d
+            prev = int(p)
+        _write_entropy_image(bw, deltas, len(pal), False)
+        # bundle indices into the green channel, LSB-first
+        width_bits = _palette_width_bits(len(pal))
+        idx = inverse.reshape(h, w).astype(np.uint32)
+        if width_bits:
+            per = 1 << width_bits
+            bits = 8 >> width_bits
+            enc_w = _div_round_up(w, width_bits)  # shift semantics: w / 2^bits
+            packed = np.zeros((h, enc_w), dtype=np.uint32)
+            for k in range(per):
+                col = idx[:, k::per]
+                packed[:, : col.shape[1]] |= col << (k * bits)
+            argb = packed << 8
+        else:
+            enc_w = w
+            argb = idx << 8
+    elif subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)
+        g = (argb >> 8) & 0xFF
+        r = (((argb >> 16) & 0xFF) - g) & 0xFF
+        b = ((argb & 0xFF) - g) & 0xFF
+        argb = (argb & 0xFF00FF00) | (r << 16) | b
     bw.write(0, 1)  # no more transforms
-    if cache_bits:
-        bw.write(1, 1)
-        bw.write(cache_bits, 4)
-    else:
-        bw.write(0, 1)
-    bw.write(0, 1)  # no meta prefix codes
-    g_codes = _write_prefix_code(bw, _huffman_lengths(gf), 256 + 24 + cache_size)
-    r_codes = _write_prefix_code(bw, _huffman_lengths(rf), 256)
-    b_codes = _write_prefix_code(bw, _huffman_lengths(bf), 256)
-    a_codes = _write_prefix_code(bw, _huffman_lengths(af), 256)
-    d_codes = _write_prefix_code(bw, _huffman_lengths(df), 40)
-    for kind, v in tokens:
-        if kind == "literal":
-            a, r, g, b = _channels(v)
-            _emit_symbol(bw, g_codes, g)
-            _emit_symbol(bw, r_codes, r)
-            _emit_symbol(bw, b_codes, b)
-            _emit_symbol(bw, a_codes, a)
-        elif kind == "run":
-            c = 256 + length_prefix_code(v)
-            _emit_symbol(bw, g_codes, c)
-            if c >= 260:
-                ebits = (c - 256 - 2) >> 1
-                offset = (2 + ((c - 256) & 1)) << ebits
-                bw.write(v - 1 - offset, ebits)
-            _emit_symbol(bw, d_codes, 1)  # dist prefix value 2 → distance 1
-        else:
-            _emit_symbol(bw, g_codes, 256 + _N_LENGTH_CODES + v)
+
+    meta_groups = None
+    if meta_bits:
+        if not 2 <= meta_bits <= 9:
+            raise ValueError("meta_bits must be in 2..9")
+        mh = _div_round_up(argb.shape[0], meta_bits)
+        mw = _div_round_up(enc_w, meta_bits)
+        yy, xx = np.mgrid[0:mh, 0:mw]
+        meta_groups = ((yy + xx) % 2).astype(np.int64)  # checkerboard
+    _write_entropy_image(
+        bw,
+        argb.reshape(-1),
+        enc_w,
+        True,
+        cache_bits=cache_bits,
+        rle=rle,
+        meta_bits=meta_bits,
+        meta_groups=meta_groups,
+    )
     payload = b"\x2f" + bw.finish()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

@@ -162,3 +162,133 @@ def test_decode_images_webp_via_spark(spark):
     ).astype(np.int16)
     have = np.frombuffer(out[0]["pixels"], dtype=np.int16).reshape(6, 5)
     assert np.array_equal(have, want)
+
+
+# --- inverse-transform verification against independent forward code --------
+
+
+def _sub_pixels(a, b):
+    out = 0
+    for shift in (24, 16, 8, 0):
+        out |= ((((a >> shift) & 0xFF) - ((b >> shift) & 0xFF)) & 0xFF) << shift
+    return out
+
+
+def _forward_predictor(orig, modes, size_bits):
+    """Spec-side encoder: residual = pixel − predict(neighbors of the
+    ORIGINAL image), with the decoder's forced corner/edge rules."""
+    h, w = orig.shape
+    res = np.empty_like(orig)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(orig[0, x - 1])
+            elif x == 0:
+                pred = int(orig[y - 1, 0])
+            else:
+                mode = int((modes[y >> size_bits, x >> size_bits] >> 8) & 0xFF)
+                l = int(orig[y, x - 1])
+                t = int(orig[y - 1, x])
+                tl = int(orig[y - 1, x - 1])
+                tr = int(orig[y - 1, x + 1]) if x + 1 < w else int(orig[y, 0])
+                pred = vp8l._predict(mode, l, t, tr, tl)
+            res[y, x] = _sub_pixels(int(orig[y, x]), pred)
+    return res
+
+
+def _rand_argb(shape, seed):
+    return (
+        np.random.default_rng(seed)
+        .integers(0, 2**32, size=shape, dtype=np.uint64)
+        .astype(np.uint32)
+    )
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_inv_predictor_recovers_every_mode(mode):
+    orig = _rand_argb((8, 9), 100 + mode)
+    size_bits = 4  # one 16x16 block covers the image: uniform mode
+    modes = np.full((1, 1), np.uint32(mode) << 8, dtype=np.uint32)
+    res = _forward_predictor(orig, modes, size_bits)
+    got = vp8l._inv_predictor(res, modes, size_bits)
+    assert np.array_equal(got, orig), mode
+
+
+def test_inv_predictor_mixed_mode_blocks():
+    """2^2-pixel blocks with independent random modes, including the
+    TR wrap at the right edge and the forced L/T first row/column."""
+    rng = np.random.default_rng(7)
+    orig = _rand_argb((11, 13), 8)
+    size_bits = 2
+    modes = (
+        rng.integers(0, 14, size=(3, 4)).astype(np.uint32) << 8
+    )
+    res = _forward_predictor(orig, modes, size_bits)
+    assert np.array_equal(vp8l._inv_predictor(res, modes, size_bits), orig)
+
+
+def test_inv_color_transform_recovers():
+    """Forward color transform per the spec (stored_r = r − δ(g2r, g);
+    stored_b = b − δ(g2b, g) − δ(r2b, final_r)) inverts exactly,
+    including negative (two's-complement) transform elements."""
+    rng = np.random.default_rng(21)
+    orig = _rand_argb((9, 10), 22)
+    size_bits = 3
+    elements = np.empty((2, 2), dtype=np.uint32)
+    for yy in range(2):
+        for xx in range(2):
+            g2r, g2b, r2b = rng.integers(0, 256, 3)
+            elements[yy, xx] = (np.uint32(r2b) << 16) | (np.uint32(g2b) << 8) | np.uint32(g2r)
+    stored = np.empty_like(orig)
+    h, w = orig.shape
+    for y in range(h):
+        for x in range(w):
+            cte = int(elements[y >> size_bits, x >> size_bits])
+            g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
+            a, r, g, b = vp8l._channels(int(orig[y, x]))
+            sr = (r - vp8l._ct_delta(g2r, g)) & 0xFF
+            sb = (b - vp8l._ct_delta(g2b, g) - vp8l._ct_delta(r2b, r)) & 0xFF
+            stored[y, x] = (a << 24) | (sr << 16) | (g << 8) | sb
+    got = vp8l._inv_color_transform(stored, elements, size_bits)
+    assert np.array_equal(got, orig)
+
+
+@pytest.mark.parametrize("ncol", [2, 3, 4, 12, 16, 200])
+def test_roundtrip_palette(ncol):
+    """COLOR_INDEXING end-to-end: delta-coded palette subimage plus
+    sub-byte index bundling at every width (3/2/1/0 bits)."""
+    rng = np.random.default_rng(300 + ncol)
+    colors = rng.integers(0, 256, size=(ncol, 4), dtype=np.uint8)
+    im = colors[rng.integers(0, ncol, size=(7, 11))]
+    out = vp8l.decode_webp(vp8l.encode_webp(im, palette=True))
+    assert np.array_equal(out, im)
+
+
+@pytest.mark.parametrize("meta_bits", [2, 3, 5])
+def test_roundtrip_meta_prefix(meta_bits):
+    """Meta prefix codes: a checkerboard of two code groups, alone and
+    combined with color cache + LZ77 runs and with a palette."""
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(17, 13, 4), dtype=np.uint8)
+    img[5:9, :] = img[5, 0]
+    assert np.array_equal(
+        vp8l.decode_webp(vp8l.encode_webp(img, meta_bits=meta_bits)), img
+    )
+    blob = vp8l.encode_webp(img, meta_bits=meta_bits, cache_bits=3, rle=True)
+    assert np.array_equal(vp8l.decode_webp(blob), img)
+    colors = rng.integers(0, 256, size=(7, 4), dtype=np.uint8)
+    pal_im = colors[rng.integers(0, 7, size=(19, 23))]
+    blob2 = vp8l.encode_webp(pal_im, palette=True, meta_bits=meta_bits)
+    assert np.array_equal(vp8l.decode_webp(blob2), pal_im)
+
+
+def test_palette_rejects_too_many_colors():
+    rng = np.random.default_rng(9)
+    big = rng.integers(0, 2**32, size=(32, 32), dtype=np.uint64).astype(np.uint32)
+    rgba = np.empty((32, 32, 4), dtype=np.uint8)
+    for c, shift in enumerate((16, 8, 0, 24)):
+        rgba[..., c] = (big >> shift) & 0xFF
+    with pytest.raises(ValueError, match="too many colors"):
+        vp8l.encode_webp(rgba, palette=True)
