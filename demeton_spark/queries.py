@@ -3419,8 +3419,12 @@ _GC_IJ_TO_POS = (0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0)
 _GC_POS_TO_ORIENT = (1, 0, 0, 3)
 
 
-def _with_geocell(df: DataFrame, level: int, keep: list) -> DataFrame:
-    """Add (face, cell_id) for (lon, lat) columns, pure Catalyst.
+def _with_geocell(
+    df: DataFrame, level: int, keep: list, ij_only: bool = False
+) -> DataFrame:
+    """Add (face, cell_id) for (lon, lat) columns, pure Catalyst —
+    or just the discrete (face, i, j) grid coordinate when ``ij_only``
+    (the key shape cell-neighborhood joins bucket on).
 
     The Hilbert orientation chain is emitted as one NAMED projection
     per level (orientation feeds two consumers each level, so a single
@@ -3474,6 +3478,13 @@ def _with_geocell(df: DataFrame, level: int, keep: list) -> DataFrame:
             F.least(F.lit(n - 1).cast("long"), F.floor(c * n).cast("long")),
         )
 
+    if ij_only:
+        return df.select(
+            *keep,
+            F.col("face").cast("int").alias("face"),
+            ij(F.col("_s")).alias("i"),
+            ij(F.col("_t")).alias("j"),
+        )
     df = df.select(
         *keep,
         "face",
@@ -3668,6 +3679,252 @@ group by 1
 """
 
 
+# --- spatial kNN via cell-neighborhood buckets ------------------------------
+#
+# The north rule's "kNN" over the cell index: every point is keyed by
+# its (face, i, j) grid coordinate, a probe's candidates are the 3×3
+# cell neighborhood (9 equi-join keys — at 10^12 rows only same-bucket
+# blocks are touched, never an all-pairs join), then exact great-circle
+# chord distance ranks the survivors.  Cross-face neighborhoods are NOT
+# stitched (the ring clips at the face edge); geo_knn_recall measures
+# what that costs against exact brute force instead of assuming it.
+
+GEO_KNN_LEVEL = 5
+GEO_KNN_K = 3
+
+
+def _with_xyz(df: DataFrame, keep: list) -> DataFrame:
+    lon, lat = F.col("lon"), F.col("lat")
+    return df.select(
+        *keep,
+        "lon",
+        "lat",
+        (F.cos(F.radians(lat)) * F.cos(F.radians(lon))).alias("x"),
+        (F.cos(F.radians(lat)) * F.sin(F.radians(lon))).alias("y"),
+        F.sin(F.radians(lat)).alias("z"),
+    )
+
+
+def _geo_pts_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts(spark, sf_dir).select("event_id", "lon", "lat")
+    keyed = _with_geocell(
+        pts, GEO_KNN_LEVEL, keep=["event_id", "lon", "lat"], ij_only=True
+    )
+    return _with_xyz(keyed, keep=["event_id", "face", "i", "j"])
+
+
+def q_geo_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest event points per probe via the cell-bucket join."""
+    from pyspark.sql import Window
+
+    base = _geo_pts_keyed(spark, sf_dir)
+    ring = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    probes = (
+        base.where(F.col("event_id") < 5)
+        .select(
+            F.col("event_id").alias("query_id"),
+            F.col("face"),
+            F.col("i"),
+            F.col("j"),
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            F.col("z").alias("qz"),
+            F.explode(ring).alias("d"),
+        )
+        .select(
+            "query_id",
+            "face",
+            (F.col("i") + F.col("d.di")).alias("i"),
+            (F.col("j") + F.col("d.dj")).alias("j"),
+            "qx",
+            "qy",
+            "qz",
+        )
+    )
+    cand = probes.join(base, ["face", "i", "j"]).where(
+        F.col("event_id") != F.col("query_id")
+    )
+    chord_sq = (
+        (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))
+        + (F.col("qy") - F.col("y")) * (F.col("qy") - F.col("y"))
+        + (F.col("qz") - F.col("z")) * (F.col("qz") - F.col("z"))
+    )
+    w = Window.partitionBy("query_id").orderBy("chord_sq", "neighbor_id")
+    return (
+        cand.select(
+            "query_id",
+            F.col("event_id").alias("neighbor_id"),
+            chord_sq.alias("chord_sq"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= GEO_KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("chord_sq"), 9).alias("chord_sq"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_geo_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the cell-bucket kNN vs exact brute force
+    (bounded 5×N cross join — the gate, not the data path)."""
+    from pyspark.sql import Window
+
+    base = _with_xyz(
+        _pts(spark, sf_dir).select("event_id", "lon", "lat"),
+        keep=["event_id"],
+    )
+    probes = base.where(F.col("event_id") < 5).select(
+        F.col("event_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.col("z").alias("qz"),
+    )
+    chord_sq = (
+        (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))
+        + (F.col("qy") - F.col("y")) * (F.col("qy") - F.col("y"))
+        + (F.col("qz") - F.col("z")) * (F.col("qz") - F.col("z"))
+    )
+    w = Window.partitionBy("query_id").orderBy("chord_sq", "neighbor_id")
+    exact = (
+        probes.crossJoin(base)
+        .where(F.col("event_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("event_id").alias("neighbor_id"),
+            chord_sq.alias("chord_sq"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= GEO_KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = q_geo_knn_cells(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("int").alias("k"),
+            F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("hits"),
+            F.round(
+                F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+_GEO_PTS_KEYED_SQL = f"""
+pts as ({_PTS_SQL}),
+xyz as (
+  select event_id,
+         cos(radians(lat)) * cos(radians(lon)) as x,
+         cos(radians(lat)) * sin(radians(lon)) as y,
+         sin(radians(lat)) as z
+  from pts
+),
+fuv as (
+  select event_id, x, y, z,
+         case when abs(x) >= abs(y) and abs(x) >= abs(z)
+              then case when x >= 0 then 0 else 3 end
+              when abs(y) >= abs(z)
+              then case when y >= 0 then 1 else 4 end
+              else case when z >= 0 then 2 else 5 end end as face
+  from xyz
+),
+keyed as (
+  select event_id, x, y, z, face,
+         greatest(0, least({(1 << GEO_KNN_LEVEL) - 1}, cast(floor(
+           (case when u >= 0 then 0.5 * sqrt(1 + 3 * u)
+                 else 1 - 0.5 * sqrt(1 - 3 * u) end) * {1 << GEO_KNN_LEVEL})
+           as bigint))) as i,
+         greatest(0, least({(1 << GEO_KNN_LEVEL) - 1}, cast(floor(
+           (case when v >= 0 then 0.5 * sqrt(1 + 3 * v)
+                 else 1 - 0.5 * sqrt(1 - 3 * v) end) * {1 << GEO_KNN_LEVEL})
+           as bigint))) as j
+  from (
+    select event_id, x, y, z, face,
+           case face when 0 then y / x when 1 then -x / y when 2 then -x / z
+                     when 3 then z / x when 4 then z / y else -y / z end as u,
+           case face when 0 then z / x when 1 then z / y when 2 then -y / z
+                     when 3 then y / x when 4 then -x / y else -x / z end as v
+    from fuv
+  )
+)"""
+
+SQL_GEO_KNN_CELLS = f"""
+with {_GEO_PTS_KEYED_SQL},
+probes as (
+  select k.event_id as query_id, k.face, k.i + dd.di as i, k.j + d2.dj as j,
+         k.x as qx, k.y as qy, k.z as qz
+  from keyed k
+  cross join (select unnest(generate_series(-1, 1)) as di) dd
+  cross join (select unnest(generate_series(-1, 1)) as dj) d2
+  where k.event_id < 5
+),
+cand as (
+  select p.query_id, b.event_id as neighbor_id,
+         (p.qx - b.x) * (p.qx - b.x) + (p.qy - b.y) * (p.qy - b.y)
+           + (p.qz - b.z) * (p.qz - b.z) as chord_sq
+  from probes p
+  join keyed b on b.face = p.face and b.i = p.i and b.j = p.j
+  where b.event_id <> p.query_id
+)
+select query_id, neighbor_id, round(chord_sq, 9) as chord_sq,
+       cast(rank as int) as rank
+from (
+  select *, row_number() over (partition by query_id
+                               order by chord_sq, neighbor_id) as rank
+  from cand
+) where rank <= {GEO_KNN_K}
+"""
+
+SQL_GEO_KNN_RECALL = f"""
+with {_GEO_PTS_KEYED_SQL},
+exact as (
+  select query_id, neighbor_id from (
+    select p.event_id as query_id, b.event_id as neighbor_id,
+           row_number() over (
+             partition by p.event_id
+             order by (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y)
+                      + (p.z - b.z) * (p.z - b.z), b.event_id) as rank
+    from (select * from xyz where event_id < 5) p
+    cross join xyz b
+    where b.event_id <> p.event_id
+  ) where rank <= {GEO_KNN_K}
+),
+approx as ({SQL_GEO_KNN_CELLS})
+select e.query_id,
+       cast(count(*) as int) as k,
+       cast(sum(case when a.neighbor_id is not null then 1 else 0 end) as int)
+           as hits,
+       round(sum(case when a.neighbor_id is not null then 1 else 0 end)
+             * 1.0 / count(*), 6) as recall
+from exact e
+left join approx a
+  on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
+group by e.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3676,6 +3933,8 @@ QUERIES = {
     "tile_assign_events": q_tile_assign_events,
     "geocell_assign": q_geocell_assign,
     "geocell_rollup": q_geocell_rollup,
+    "geo_knn_cells": q_geo_knn_cells,
+    "geo_knn_recall": q_geo_knn_recall,
     "bbox_cover": q_bbox_cover,
     "polygon_clip": q_polygon_clip,
     "pyramid_parents": q_pyramid_parents,
@@ -3722,6 +3981,8 @@ ORACLES = {
     "tile_assign_events": SQL_TILE_ASSIGN_EVENTS,
     "geocell_assign": SQL_GEOCELL_ASSIGN,
     "geocell_rollup": SQL_GEOCELL_ROLLUP,
+    "geo_knn_cells": SQL_GEO_KNN_CELLS,
+    "geo_knn_recall": SQL_GEO_KNN_RECALL,
     "bbox_cover": SQL_BBOX_COVER,
     "polygon_clip": SQL_POLYGON_CLIP,
     "pyramid_parents": SQL_PYRAMID_PARENTS,
