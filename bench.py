@@ -52,6 +52,7 @@ HEADLINE_QUERIES = [
     "tile_assign_events",
     "geocell_assign",
     "geocell_rollup",
+    "geo_knn_cells",
     "tile_metadata_join",
     "bbox_cover",
     "polygon_clip",

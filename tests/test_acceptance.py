@@ -145,3 +145,16 @@ def test_kmeans_ivf_trained_quantizer(spark):
     for r in rows:
         assert r["recall"] >= 2 / 3, (r["query_id"], r["recall"])
     assert sum(r["recall"] for r in rows) / len(rows) >= 0.9
+
+
+def test_geo_knn_recall_gate(spark):
+    """Cell-neighborhood spatial kNN must recover every probe's exact
+    great-circle top-3 on this corpus (face-edge ring clipping is
+    measured by the same query at scale)."""
+    from demeton_spark.queries import q_geo_knn_recall
+
+    rows = q_geo_knn_recall(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no probes"
+    for r in rows:
+        assert r["recall"] >= 2 / 3, (r["query_id"], r["recall"])
+    assert sum(r["recall"] for r in rows) / len(rows) >= 0.9
