@@ -239,3 +239,68 @@ def cell_range(cell, level: int, child_level: int):
     step = np.int64(1) << (2 * (child_level - level))
     base = np.asarray(cell, dtype=np.int64) * step
     return base, base + step - 1
+
+
+def _wrap_face_ij(face, i, j, level: int):
+    """Map possibly-out-of-range (face, i, j) onto the adjacent face.
+
+    The S2 wrap: ij → uv through the LINEAR projection, onto the cube
+    in 3-D, re-derive (face, u, v), back to ij.  Linear is exact here
+    because the face-adjacency transforms are axis swaps/negations of
+    the uv square, so edge indices map 1:1 regardless of the quadratic
+    cell spacing used inside a face."""
+    n = 1 << level
+    scale = 1.0 / n
+    limit = 1.0 + np.finfo(np.float64).eps
+    i = np.clip(np.asarray(i, dtype=np.int64), -1, n)
+    j = np.clip(np.asarray(j, dtype=np.int64), -1, n)
+    u = np.clip(scale * (2.0 * i.astype(np.float64) - n + 1.0), -limit, limit)
+    v = np.clip(scale * (2.0 * j.astype(np.float64) - n + 1.0), -limit, limit)
+    x, y, z = face_uv_to_xyz(face, u, v)
+    nface, nu, nv = xyz_to_face_uv(x, y, z)
+    ni = np.clip(np.floor(n * (0.5 * (nu + 1.0))).astype(np.int64), 0, n - 1)
+    nj = np.clip(np.floor(n * (0.5 * (nv + 1.0))).astype(np.int64), 0, n - 1)
+    return nface, ni, nj
+
+
+def cell_neighbors(cell, level: int):
+    """All edge+corner neighbors of each compact cell id, cross-face
+    complete (the 3×3 ring minus the cell itself, wrapped onto the
+    adjacent face where the ring leaves this face; duplicates from
+    cube-corner wrapping removed).  Returns a list of numpy arrays of
+    neighbor ids per input cell."""
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    n = 1 << level
+    quads = np.int64(1) << (2 * level)
+    face = cell // quads
+    i, j = pos_to_ij(face, cell % quads, level)
+    out = []
+    for idx in range(len(cell)):
+        seen = set()
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                ni, nj = int(i[idx]) + di, int(j[idx]) + dj
+                if 0 <= ni < n and 0 <= nj < n:
+                    nf, nii, njj = int(face[idx]), ni, nj
+                else:
+                    nf, nii, njj = (
+                        int(w[0])
+                        for w in _wrap_face_ij(
+                            np.array([face[idx]]),
+                            np.array([ni]),
+                            np.array([nj]),
+                            level,
+                        )
+                    )
+                nid = int(
+                    nf * (1 << (2 * level))
+                    + ij_to_pos(
+                        np.array([nf]), np.array([nii]), np.array([njj]), level
+                    )[0]
+                )
+                if nid != int(cell[idx]):
+                    seen.add(nid)
+        out.append(np.array(sorted(seen), dtype=np.int64))
+    return out

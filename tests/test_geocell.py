@@ -130,3 +130,29 @@ def test_spark_catalyst_matches_numpy(spark):
     want = gc.lonlat_to_cell(pdf.lon.values, pdf.lat.values, 12)
     assert (got.cell_id.values == want).all()
     assert (got.face.values == want // 4**12).all()
+
+
+def test_cross_face_neighbors_complete():
+    """cell_neighbors is cross-face complete at level 3: the relation
+    is symmetric over ALL 6·4³ cells, exactly the 24 cube-corner cells
+    have 7 neighbors (everyone else 8), and every neighbor's center is
+    geometrically adjacent (angle < 2.5 cell widths)."""
+    level = 3
+    n_cells = 6 * 4**level
+    all_cells = np.arange(n_cells, dtype=np.int64)
+    nbr_sets = [set(x.tolist()) for x in gc.cell_neighbors(all_cells, level)]
+    for a in range(n_cells):
+        for b in nbr_sets[a]:
+            assert a in nbr_sets[b], (a, b)
+    from collections import Counter
+
+    hist = Counter(len(s) for s in nbr_sets)
+    assert hist == {8: n_cells - 24, 7: 24}
+    lon, lat = gc.cell_to_lonlat(all_cells, level)
+    x, y, z = gc.lonlat_to_xyz(lon, lat)
+    xyz = np.stack([x, y, z], axis=1)
+    bound = 2.5 * (np.pi / 2) / (1 << level)
+    for a in range(n_cells):
+        for b in nbr_sets[a]:
+            ang = np.arccos(np.clip(np.dot(xyz[a], xyz[b]), -1, 1))
+            assert ang < bound, (a, b, ang)
