@@ -53,6 +53,7 @@ HEADLINE_QUERIES = [
     "geocell_assign",
     "geocell_rollup",
     "geo_knn_cells",
+    "geo_points_in_polygons",
     "tile_metadata_join",
     "bbox_cover",
     "polygon_clip",

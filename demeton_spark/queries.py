@@ -3925,6 +3925,182 @@ group by e.query_id
 """
 
 
+# --- J1+J9 at web scale: points × polygons spatial join ---------------------
+#
+# The general distributed form of the reference's raster clip
+# (Demeton/Geometry/Funcs.fs:9-33 orientation tests): MANY points
+# joined against MANY polygons with no cross join anywhere.  The
+# polygon dimension compiles to a grid-cell COVER (one row per
+# 1-degree cell its bbox overlaps — the same integer grid the SRTM
+# tile index uses, tiles.py); points carry their cell key for free
+# (floor of lon/lat), so candidates come out of a plain equi-join on
+# the cell id.  The exact test is then crossing-number parity computed
+# entirely in Catalyst: candidates join the tiny edge table
+# (broadcast), each (point, edge) row contributes a 0/1 crossing
+# indicator, and a hash aggregate keeps odd-parity pairs.  At 10^12
+# points × 10^6 polygons the identical plan holds with the broadcasts
+# replaced by shuffle joins on the cell key (and a finer cover level —
+# geocell.cover_bbox — when polygons are small relative to 1°).
+#
+# Polygons are a deterministic synthetic dimension (ellipse-ish k-gons
+# with modular-arithmetic centers/radii and integer-radian phases) so
+# the DuckDB twin regenerates them exactly.
+
+_GPIP_N_POLYS = 40
+_GPIP_ECC = 0.7  # vertical semi-axis factor (ellipse-ish, still simple)
+import math as _math
+
+_GPIP_TWO_PI = 2 * _math.pi
+
+
+def _gpip_polys(spark: SparkSession) -> DataFrame:
+    p = F.col("poly_id")
+    return spark.range(_GPIP_N_POLYS).select(F.col("id").alias("poly_id")).select(
+        "poly_id",
+        (F.lit(3) + p % 6).alias("k"),
+        (F.lit(-170.0) + (p * 97) % 340 + F.lit(0.5)).alias("cx"),
+        (F.lit(-75.0) + (p * 61) % 150 + F.lit(0.5)).alias("cy"),
+        (F.lit(1.5) + (p % 5).cast("double")).alias("r"),
+    )
+
+
+def _gpip_edges(spark: SparkSession) -> DataFrame:
+    base = _gpip_polys(spark).select(
+        "poly_id", "k", "cx", "cy", "r",
+        F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("i"),
+    )
+    kd = F.col("k").cast("double")
+    phase = F.col("poly_id").cast("double")
+    a1 = F.lit(_GPIP_TWO_PI) * F.col("i") / kd + phase
+    a2 = F.lit(_GPIP_TWO_PI) * ((F.col("i") + 1) % F.col("k")) / kd + phase
+    ry = F.lit(_GPIP_ECC) * F.col("r")
+    return base.select(
+        "poly_id",
+        (F.col("cx") + F.col("r") * F.cos(a1)).alias("x1"),
+        (F.col("cy") + ry * F.sin(a1)).alias("y1"),
+        (F.col("cx") + F.col("r") * F.cos(a2)).alias("x2"),
+        (F.col("cy") + ry * F.sin(a2)).alias("y2"),
+    )
+
+
+def q_geo_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join: per polygon, count/aggregate the event points it
+    contains.  Cell-cover equi-join → broadcast edge join →
+    crossing-number parity, all Catalyst (no UDF, no cross join)."""
+    polys = _gpip_polys(spark)
+    ry = F.lit(_GPIP_ECC) * F.col("r")
+    cover = polys.select(
+        "poly_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cx") - F.col("r")).cast("int"),
+                F.floor(F.col("cx") + F.col("r")).cast("int"),
+            )
+        ).alias("tx"),
+        (F.col("cy") - ry).alias("_y0"),
+        (F.col("cy") + ry).alias("_y1"),
+    ).select(
+        "poly_id",
+        "tx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_y0")).cast("int"),
+                F.floor(F.col("_y1")).cast("int"),
+            )
+        ).alias("ty"),
+    )
+    pts = _pts(spark, sf_dir).select(
+        "event_id",
+        "value",
+        "lon",
+        "lat",
+        F.floor(F.col("lon")).cast("int").alias("tx"),
+        F.floor(F.col("lat")).cast("int").alias("ty"),
+    )
+    cand = pts.join(F.broadcast(cover), ["tx", "ty"])
+    lat, lon = F.col("lat"), F.col("lon")
+    # Half-open crossing rule, identical to geometry.points_in_polygon
+    # and to the SQL twin.  A horizontal edge (y1 == y2) fails the
+    # first conjunct, so the division never decides anything there
+    # (false AND x = false in both engines' 3-valued logic).
+    crosses = (
+        (F.col("y1") > lat) != (F.col("y2") > lat)
+    ) & (
+        lon
+        < (F.col("x2") - F.col("x1")) * (lat - F.col("y1"))
+        / (F.col("y2") - F.col("y1"))
+        + F.col("x1")
+    )
+    parity = (
+        cand.join(F.broadcast(_gpip_edges(spark)), "poly_id")
+        .groupBy("event_id", "poly_id")
+        .agg(
+            F.first("value").alias("value"),
+            F.sum(crosses.cast("int")).alias("nc"),
+        )
+        .where(F.col("nc") % 2 == 1)
+    )
+    per_poly = parity.groupBy("poly_id").agg(
+        F.count("*").alias("_n"), F.sum("value").alias("_sv")
+    )
+    return polys.join(per_poly, "poly_id", "left").select(
+        F.col("poly_id").cast("int").alias("poly_id"),
+        F.col("k").cast("int").alias("n_vertices"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_inside"),
+        F.round(F.coalesce(F.col("_sv"), F.lit(0.0)), 6).alias("sum_value"),
+    )
+
+
+_GPIP_POLYS_SQL = f"""
+polys as (
+  select p as poly_id, 3 + p % 6 as k,
+         -170.0 + (p * 97) % 340 + 0.5 as cx,
+         -75.0 + (p * 61) % 150 + 0.5 as cy,
+         1.5 + cast(p % 5 as double) as r
+  from (select unnest(generate_series(0, {_GPIP_N_POLYS - 1})) as p)
+)"""
+
+SQL_GEO_POINTS_IN_POLYGONS = f"""
+with pts as ({_PTS_SQL}),
+{_GPIP_POLYS_SQL},
+edges as (
+  select poly_id,
+         cx + r * cos(2 * pi() * i / k + poly_id) as x1,
+         cy + {_GPIP_ECC} * r * sin(2 * pi() * i / k + poly_id) as y1,
+         cx + r * cos(2 * pi() * ((i + 1) % k) / k + poly_id) as x2,
+         cy + {_GPIP_ECC} * r * sin(2 * pi() * ((i + 1) % k) / k + poly_id) as y2
+  from (select poly_id, k, cx, cy, r, unnest(generate_series(0, k - 1)) as i
+        from polys)
+),
+cand as (
+  select pt.event_id, pt.value, pt.lon, pt.lat, po.poly_id
+  from pts pt
+  join polys po
+    on pt.lon >= po.cx - po.r and pt.lon <= po.cx + po.r
+   and pt.lat >= po.cy - {_GPIP_ECC} * po.r
+   and pt.lat <= po.cy + {_GPIP_ECC} * po.r
+),
+parity as (
+  select c.event_id, c.poly_id, any_value(c.value) as value,
+         sum(case when ((e.y1 > c.lat) <> (e.y2 > c.lat))
+                   and c.lon < (e.x2 - e.x1) * (c.lat - e.y1)
+                               / (e.y2 - e.y1) + e.x1
+                  then 1 else 0 end) as nc
+  from cand c join edges e using (poly_id)
+  group by 1, 2
+)
+select cast(po.poly_id as int) as poly_id,
+       cast(po.k as int) as n_vertices,
+       cast(coalesce(agg._n, 0) as bigint) as n_inside,
+       round(coalesce(agg._sv, 0), 6) as sum_value
+from polys po
+left join (
+  select poly_id, count(*) as _n, sum(value) as _sv
+  from parity where nc % 2 = 1 group by 1
+) agg on po.poly_id = agg.poly_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3935,6 +4111,7 @@ QUERIES = {
     "geocell_rollup": q_geocell_rollup,
     "geo_knn_cells": q_geo_knn_cells,
     "geo_knn_recall": q_geo_knn_recall,
+    "geo_points_in_polygons": q_geo_points_in_polygons,
     "bbox_cover": q_bbox_cover,
     "polygon_clip": q_polygon_clip,
     "pyramid_parents": q_pyramid_parents,
@@ -3983,6 +4160,7 @@ ORACLES = {
     "geocell_rollup": SQL_GEOCELL_ROLLUP,
     "geo_knn_cells": SQL_GEO_KNN_CELLS,
     "geo_knn_recall": SQL_GEO_KNN_RECALL,
+    "geo_points_in_polygons": SQL_GEO_POINTS_IN_POLYGONS,
     "bbox_cover": SQL_BBOX_COVER,
     "polygon_clip": SQL_POLYGON_CLIP,
     "pyramid_parents": SQL_PYRAMID_PARENTS,
