@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "geocell_rollup",
     "geo_knn_cells",
     "geo_points_in_polygons",
+    "geo_zonal_stats",
     "tile_metadata_join",
     "bbox_cover",
     "polygon_clip",

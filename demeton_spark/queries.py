@@ -4101,6 +4101,86 @@ left join (
 """
 
 
+# --- zonal statistics: raster↔vector aggregate join -------------------------
+
+_ZONAL_POLYS = None  # computed lazily to keep import light
+
+
+def _zonal_polys():
+    global _ZONAL_POLYS
+    if _ZONAL_POLYS is None:
+        from demeton_spark.zonal import zonal_demo_polygons
+
+        _ZONAL_POLYS = zonal_demo_polygons()
+    return _ZONAL_POLYS
+
+
+def _cq_tiles(spark: SparkSession) -> DataFrame:
+    """Contract-world int16 tile table, generated distributed (one
+    mapInPandas row per tile — no driver-side numpy world)."""
+    import pandas as pd
+
+    from demeton_spark.synth import WorldSpec, expected_tile_heights
+
+    spec = WorldSpec(
+        lon0=_CQ_LON0, lat0=_CQ_LAT0, n_tiles_x=_CQ_NTX, n_tiles_y=_CQ_NTY,
+        tile_size=_CQ_TS, block_size=_CQ_BS,
+    )
+    coords = spark.createDataFrame(
+        [
+            (spec.lon0 + i, spec.lat0 + j)
+            for i in range(spec.n_tiles_x)
+            for j in range(spec.n_tiles_y)
+        ],
+        "tile_x int, tile_y int",
+    ).repartition(spec.n_tiles_x * spec.n_tiles_y)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "tile_x": pdf["tile_x"],
+                    "tile_y": pdf["tile_y"],
+                    "heights": [
+                        expected_tile_heights(spec, int(tx), int(ty)).tobytes()
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                }
+            )
+
+    return coords.mapInPandas(gen, "tile_x int, tile_y int, heights binary")
+
+
+def q_geo_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (raster↔vector join): per-polygon elevation
+    aggregates over the contract DEM — polygon→tile-cover broadcast
+    join, one Arrow pass of PIP-masked partials per (polygon, tile),
+    hash-agg per polygon.  See demeton_spark/zonal.py."""
+    from demeton_spark.zonal import zonal_stats
+
+    return zonal_stats(_cq_tiles(spark), _CQ_TS, _zonal_polys())
+
+
+def _sql_zonal_stats() -> str:
+    parts = []
+    lon = f"(cast(tx as double) + cast(lx as double) / {_CQ_TS})"
+    lat = f"(cast(ty as double) + cast(ly as double) / {_CQ_TS})"
+    for pid, verts in _zonal_polys():
+        pip = _sql_pip_expr(lon, lat, verts)
+        parts.append(f"""
+select {pid} as poly_id, {len(verts)} as n_vertices,
+       cast(count(*) as bigint) as n_px,
+       cast(coalesce(sum(case when h <> -32768 then 1 end), 0) as bigint)
+         as n_valid,
+       cast(coalesce(sum(case when h <> -32768 then h end), 0) as bigint)
+         as sum_h,
+       cast(min(case when h <> -32768 then h end) as int) as min_h,
+       cast(max(case when h <> -32768 then h end) as int) as max_h
+from world where {pip}""")
+    body = "\nunion all\n".join(parts)
+    return f"with {_sql_synth_world()}\n{body}"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4112,6 +4192,7 @@ QUERIES = {
     "geo_knn_cells": q_geo_knn_cells,
     "geo_knn_recall": q_geo_knn_recall,
     "geo_points_in_polygons": q_geo_points_in_polygons,
+    "geo_zonal_stats": q_geo_zonal_stats,
     "bbox_cover": q_bbox_cover,
     "polygon_clip": q_polygon_clip,
     "pyramid_parents": q_pyramid_parents,
@@ -4161,6 +4242,7 @@ ORACLES = {
     "geo_knn_cells": SQL_GEO_KNN_CELLS,
     "geo_knn_recall": SQL_GEO_KNN_RECALL,
     "geo_points_in_polygons": SQL_GEO_POINTS_IN_POLYGONS,
+    "geo_zonal_stats": _sql_zonal_stats(),
     "bbox_cover": SQL_BBOX_COVER,
     "polygon_clip": SQL_POLYGON_CLIP,
     "pyramid_parents": SQL_PYRAMID_PARENTS,
