@@ -86,6 +86,7 @@ HEADLINE_QUERIES = [
     "audio_features",
     "doc_fingerprint",
     "doc_ngram_near_dup",
+    "doc_decontaminate",
     "knn_bruteforce",
     "knn_ivf_bucketed",
     "knn_ivf_recall",

@@ -1333,6 +1333,112 @@ where 2 * i >= na + nb - i
 """
 
 
+# --- benchmark decontamination ----------------------------------------------
+#
+# The training-pipeline op the near-dup family doesn't cover: flag any
+# TRAINING document sharing a word-5-gram with any EVAL-BENCHMARK
+# document (the standard n-gram-overlap decontamination rule, cf. the
+# GPT-3/PaLM appendices).  The benchmark here is a deterministic slice
+# of the documents table (doc_id % 41 = 7) so both engines derive it
+# from the same parquet.  Scale posture: the benchmark gram set is
+# dimension-sized even for real eval suites (~10^7 grams) → broadcast
+# hash join; the corpus side is one linear explode + two doc_id-keyed
+# hash-aggs, no corpus self-join anywhere.
+
+_DECON_N = 5  # words per contamination gram
+_DECON_SALT = 101  # distinct from minhash salts 0..15 and shingle salt 0
+_DECON_BENCH_MOD, _DECON_BENCH_REM = 41, 7
+
+
+def _decon_grams_col():
+    idx = ", ".join(f"ws[i+{k}]" for k in range(_DECON_N))
+    return F.expr(
+        f"case when size(ws) < {_DECON_N} then array(concat_ws(' ', ws)) "
+        f"else transform(sequence(0, size(ws) - {_DECON_N}), "
+        f"i -> concat_ws(' ', {idx})) end"
+    )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs that share ≥1 word-5-gram with the benchmark
+    slice; report per-doc gram counts, hit counts, distinct benchmark
+    docs hit, and the overlap fraction."""
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _DECON_BENCH_MOD == _DECON_BENCH_REM
+    g = (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            _words().alias("ws"),
+        )
+        .select("doc_id", F.explode(F.array_distinct(_decon_grams_col())).alias("s"))
+        .select("doc_id", _word_hash(F.col("s"), _DECON_SALT).alias("h"))
+    )
+    bench = (
+        g.where(is_bench)
+        .select(F.col("doc_id").alias("bench_doc"), "h")
+        .distinct()
+    )
+    train = g.where(~is_bench)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_hit_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_hit_grams",
+        "n_bench_docs",
+        F.round(
+            F.col("n_hit_grams").cast("double") / F.col("n_grams"), 6
+        ).alias("overlap_frac"),
+    )
+
+
+def _sql_decon_grams() -> str:
+    cat = " || ' ' || ".join(f"ws[i+{k}]" for k in range(_DECON_N))
+    return (
+        f"case when len(ws) < {_DECON_N} then [array_to_string(ws, ' ')] "
+        f"else list_transform(generate_series(1, len(ws) - {_DECON_N - 1}), "
+        f"i -> {cat}) end"
+    )
+
+
+SQL_DOC_DECONTAMINATE = f"""
+with w as (
+  select cast(doc_id as bigint) as doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') as ws
+  from documents
+),
+g as (
+  select doc_id, {_sql_word_hash('x', _DECON_SALT)} as h
+  from (select doc_id, unnest(list_distinct({_sql_decon_grams()})) as x from w)
+),
+bench as (
+  select distinct doc_id as bench_doc, h from g
+  where doc_id % {_DECON_BENCH_MOD} = {_DECON_BENCH_REM}
+),
+train as (
+  select * from g where doc_id % {_DECON_BENCH_MOD} <> {_DECON_BENCH_REM}
+),
+sizes as (select doc_id, count(*) as n_grams from train group by 1),
+hits as (
+  select t.doc_id,
+         count(distinct t.h) as n_hit_grams,
+         count(distinct b.bench_doc) as n_bench_docs
+  from train t join bench b on t.h = b.h
+  group by 1
+)
+select h.doc_id, s.n_grams, h.n_hit_grams, h.n_bench_docs,
+       round(cast(h.n_hit_grams as double) / s.n_grams, 6) as overlap_frac
+from hits h join sizes s on h.doc_id = s.doc_id
+"""
+
+
 _FP_K = 8  # k-gram length (chars)
 _FP_W = 4  # winnowing guarantee window (grams)
 _FP_B = 257
@@ -4220,6 +4326,7 @@ QUERIES = {
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
     "doc_simhash_recall": q_doc_simhash_recall,
     "doc_ngram_near_dup": q_doc_ngram_near_dup,
+    "doc_decontaminate": q_doc_decontaminate,
     "image_phash_dedup": q_image_phash_dedup,
     "image_phash_near_dup": q_image_phash_near_dup,
     "audio_features": q_audio_features,
@@ -4270,6 +4377,7 @@ ORACLES = {
     "doc_simhash_near_dup": SQL_DOC_SIMHASH_NEAR_DUP,
     "doc_simhash_recall": SQL_DOC_SIMHASH_RECALL,
     "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
+    "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
