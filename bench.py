@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "geo_knn_cells",
     "geo_points_in_polygons",
     "geo_zonal_stats",
+    "geo_point_elevation",
     "tile_metadata_join",
     "bbox_cover",
     "polygon_clip",

@@ -4287,6 +4287,141 @@ from world where {pip}""")
     return f"with {_sql_synth_world()}\n{body}"
 
 
+# --- point elevation: bilinear raster sampling at point locations -----------
+#
+# Raster enrichment of a point table (J4 nearest-raster lookup + J5
+# bilinear lerp, surfaced as a distributed query): each point explodes
+# to its 4 corner cells, corners equi-join the tile table on the tile
+# key (cross-TILE corners land on their own tiles — no halo fetch
+# needed), the int16 corner height is sliced out of the tile binary
+# with pure Catalyst byte ops, and the 4-corner lerp runs as codegen'd
+# double arithmetic.  Any missing/out-of-world corner nulls the result
+# (kernels.bilinear_interpolate's NaN rule; Dem/Types.fs:143-155).
+# Scale: points co-partition by tile key against a tile-bucketed table
+# (SCALE.md) — one shuffle of 4 int-keyed rows per point, no pixels.
+
+
+def _pelev_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lon = (F.col("event_id") * 48271 % 1999).cast("double") / 1999.0 * 2.0 + 13.0
+    lat = (F.col("user_id") * 16807 % 1997).cast("double") / 1997.0 * 2.0 + 45.0
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+
+
+def q_geo_point_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = _CQ_TS
+    pts = _pelev_points(spark, sf_dir).select(
+        "event_id", "lon", "lat",
+        (F.col("lon") * float(ts)).alias("gxf"),
+        (F.col("lat") * float(ts)).alias("gyf"),
+    )
+    base = pts.select(
+        "event_id", "lon", "lat",
+        F.floor("gxf").cast("bigint").alias("gx1"),
+        F.floor("gyf").cast("bigint").alias("gy1"),
+        (F.col("gxf") - F.floor("gxf")).alias("dx"),
+        (F.col("gyf") - F.floor("gyf")).alias("dy"),
+    )
+    corner = [
+        F.struct(
+            F.lit(c).alias("c"),
+            (F.col("gx1") + c % 2).alias("gx"),
+            (F.col("gy1") + c // 2).alias("gy"),
+        )
+        for c in range(4)
+    ]
+    corners = (
+        base.select(
+            "event_id", "lon", "lat", "dx", "dy",
+            F.explode(F.array(*corner)).alias("k"),
+        )
+        .select(
+            "event_id", "lon", "lat", "dx", "dy",
+            F.col("k.c").alias("c"),
+            F.col("k.gx").alias("gx"),
+            F.col("k.gy").alias("gy"),
+        )
+        .withColumn("tile_x", F.expr(f"cast(gx div {ts} as int)"))
+        .withColumn("tile_y", F.expr(f"cast(gy div {ts} as int)"))
+    )
+    j = corners.join(_cq_tiles(spark), ["tile_x", "tile_y"]).withColumn(
+        "off", ((F.col("gy") % ts) * ts + F.col("gx") % ts) * 2 + 1
+    )
+    lo = F.conv(
+        F.hex(F.expr("substring(heights, cast(off as int), 1)")), 16, 10
+    ).cast("int")
+    hi = F.conv(
+        F.hex(F.expr("substring(heights, cast(off as int) + 1, 1)")), 16, 10
+    ).cast("int")
+    raw = lo + hi * 256
+    signed = F.when(raw >= 32768, raw - 65536).otherwise(raw)
+    hv = F.when(signed == -32768, F.lit(None)).otherwise(signed.cast("double"))
+    per = j.groupBy("event_id").agg(
+        F.first("lon").alias("lon"),
+        F.first("lat").alias("lat"),
+        F.first("dx").alias("dx"),
+        F.first("dy").alias("dy"),
+        *[
+            F.max(F.when(F.col("c") == c, hv)).alias(f"h{c + 1}")
+            for c in range(4)
+        ],
+    )
+    hh1 = (F.col("h2") - F.col("h1")) * F.col("dx") + F.col("h1")
+    hh2 = (F.col("h4") - F.col("h3")) * F.col("dx") + F.col("h3")
+    return per.select(
+        "event_id", "lon", "lat",
+        F.round((hh2 - hh1) * F.col("dy") + hh1, 6).alias("elev"),
+    )
+
+
+SQL_GEO_POINT_ELEVATION = f"""
+with {_sql_synth_world()},
+pts as (
+  select cast(event_id as bigint) as event_id,
+         cast(event_id * 48271 % 1999 as double) / 1999.0 * 2.0 + 13.0 as lon,
+         cast(user_id * 16807 % 1997 as double) / 1997.0 * 2.0 + 45.0 as lat
+  from events
+),
+base as (
+  select event_id, lon, lat,
+         cast(floor(lon * {_CQ_TS}.0) as bigint) as gx1,
+         cast(floor(lat * {_CQ_TS}.0) as bigint) as gy1,
+         lon * {_CQ_TS}.0 - floor(lon * {_CQ_TS}.0) as dx,
+         lat * {_CQ_TS}.0 - floor(lat * {_CQ_TS}.0) as dy
+  from pts
+),
+corners as (
+  select b.event_id, b.lon, b.lat, b.dx, b.dy, cs.c,
+         b.gx1 + cs.c % 2 as gx, b.gy1 + cs.c // 2 as gy
+  from base b cross join (select unnest([0, 1, 2, 3]) as c) cs
+),
+looked as (
+  select k.event_id, k.lon, k.lat, k.dx, k.dy, k.c,
+         case when w.h <> -32768 then cast(w.h as double) end as hv
+  from corners k
+  left join world w on w.tx * {_CQ_TS} + w.lx = k.gx
+                   and w.ty * {_CQ_TS} + w.ly = k.gy
+),
+per as (
+  select event_id, any_value(lon) as lon, any_value(lat) as lat,
+         any_value(dx) as dx, any_value(dy) as dy,
+         max(case when c = 0 then hv end) as h1,
+         max(case when c = 1 then hv end) as h2,
+         max(case when c = 2 then hv end) as h3,
+         max(case when c = 3 then hv end) as h4
+  from looked group by 1
+)
+select event_id, lon, lat,
+       round(((h4 - h3) * dx + h3 - ((h2 - h1) * dx + h1)) * dy
+             + ((h2 - h1) * dx + h1), 6) as elev
+from per
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4299,6 +4434,7 @@ QUERIES = {
     "geo_knn_recall": q_geo_knn_recall,
     "geo_points_in_polygons": q_geo_points_in_polygons,
     "geo_zonal_stats": q_geo_zonal_stats,
+    "geo_point_elevation": q_geo_point_elevation,
     "bbox_cover": q_bbox_cover,
     "polygon_clip": q_polygon_clip,
     "pyramid_parents": q_pyramid_parents,
@@ -4350,6 +4486,7 @@ ORACLES = {
     "geo_knn_recall": SQL_GEO_KNN_RECALL,
     "geo_points_in_polygons": SQL_GEO_POINTS_IN_POLYGONS,
     "geo_zonal_stats": _sql_zonal_stats(),
+    "geo_point_elevation": SQL_GEO_POINT_ELEVATION,
     "bbox_cover": SQL_BBOX_COVER,
     "polygon_clip": SQL_POLYGON_CLIP,
     "pyramid_parents": SQL_PYRAMID_PARENTS,
