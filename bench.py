@@ -84,6 +84,7 @@ HEADLINE_QUERIES = [
     "doc_simhash_recall",
     "image_phash_dedup",
     "image_phash_near_dup",
+    "pair_dedup_clusters",
     "audio_features",
     "doc_fingerprint",
     "doc_ngram_near_dup",

@@ -2481,6 +2481,100 @@ group by phash
 """
 
 
+def _contract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from demeton_spark.synth import ensure_contract_images
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    return spark.read.parquet(ensure_contract_images(spark, sf))
+
+
+def pair_dedup_clusters(imgs: DataFrame) -> DataFrame:
+    """Joint image+caption transitive dedup over an input-hint pairs
+    table (image_id, phash, caption): two modalities vote edges, one
+    union-find resolves them.
+
+    An edge exists when two rows share a phash (pixel duplicate) OR a
+    caption (text duplicate); connected components over the union give
+    multimodal clusters — image A ~ B by pixels and B ~ C by caption
+    land in ONE cluster even though A and C share nothing directly.
+    Edges are star-shaped (every member → its modality-group min), so
+    the edge list is linear in rows, not quadratic in duplicates:
+    at 10^12 pairs this is two hash-aggs + the O(log n) CC rounds.
+    Output: one row per cluster with member/phash/caption cardinality.
+    """
+    from demeton_spark.graph import connected_components
+
+    def star_edges(key: str) -> DataFrame:
+        g = imgs.groupBy(key).agg(F.min("image_id").alias("b"))
+        return (
+            imgs.join(g, key)
+            .where(F.col("image_id") != F.col("b"))
+            .select(F.col("image_id").alias("a"), "b")
+        )
+
+    edges = star_edges("phash").union(star_edges("caption"))
+    nodes = imgs.select(F.col("image_id").alias("node")).distinct()
+    cc = connected_components(nodes, edges, "node", ("a", "b"))
+    return (
+        imgs.join(cc, imgs["image_id"] == cc["node"])
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("phash").alias("n_phashes"),
+            F.countDistinct("caption").alias("n_captions"),
+        )
+        .select(
+            F.col("label").alias("cluster_id"),
+            "n_members",
+            "n_phashes",
+            "n_captions",
+        )
+    )
+
+
+def q_pair_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pair_dedup_clusters(
+        _contract_images(spark, sf_dir).select("image_id", "phash", "caption")
+    )
+
+
+SQL_PAIR_DEDUP_CLUSTERS = """
+with recursive img as (
+  select image_id, phash, caption
+  from read_parquet('/root/repo/data/synth_images/sf0.01/*.parquet')
+),
+pe as (
+  select i.image_id as a, g.b
+  from img i join (select phash, min(image_id) as b from img group by 1) g
+    using (phash)
+  where i.image_id <> g.b
+),
+ce as (
+  select i.image_id as a, g.b
+  from img i join (select caption, min(image_id) as b from img group by 1) g
+    using (caption)
+  where i.image_id <> g.b
+),
+e0 as (select a, b from pe union select a, b from ce),
+edges as (select a, b from e0 union select b as a, a as b from e0),
+reach(node, root) as (
+  select image_id, image_id from img
+  union
+  select e.b, r.root from reach r join edges e on e.a = r.node
+),
+labels as (select node, min(root) as label from reach group by node)
+select l.label as cluster_id,
+       cast(count(*) as bigint) as n_members,
+       cast(count(distinct i.phash) as bigint) as n_phashes,
+       cast(count(distinct i.caption) as bigint) as n_captions
+from img i join labels l on i.image_id = l.node
+group by 1
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio curation features over real WAV/PCM decode.
 
@@ -4465,6 +4559,7 @@ QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "image_phash_dedup": q_image_phash_dedup,
     "image_phash_near_dup": q_image_phash_near_dup,
+    "pair_dedup_clusters": q_pair_dedup_clusters,
     "audio_features": q_audio_features,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
@@ -4518,6 +4613,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
+    "pair_dedup_clusters": SQL_PAIR_DEDUP_CLUSTERS,
     "audio_features": SQL_AUDIO_FEATURES,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
