@@ -89,6 +89,7 @@ HEADLINE_QUERIES = [
     "doc_fingerprint",
     "doc_ngram_near_dup",
     "doc_decontaminate",
+    "doc_filter_pipeline",
     "knn_bruteforce",
     "knn_ivf_bucketed",
     "knn_ivf_recall",

@@ -1439,6 +1439,106 @@ from hits h join sizes s on h.doc_id = s.doc_id
 """
 
 
+# --- curation filter pipeline ------------------------------------------------
+#
+# The user-facing finish of the text-curation family: one verdict row
+# per document combining the quality, language, repetition,
+# contamination, and exact-duplicate signals the individual queries
+# compute — the C4/Gopher-style keep/drop decision a training pipeline
+# actually applies.  Pure composition of oracle-checked parts: five
+# doc_id-keyed joins, no new shuffles beyond the parts themselves.
+
+_FPIPE_MIN_QUALITY = 0.35  # lexical-diversity floor (distinct/total)
+_FPIPE_MAX_DUP_FRAC = 0.55  # Gopher duplicate-word-fraction ceiling
+_FPIPE_MAX_TOP_WORD = 0.20  # single-word mass ceiling
+
+
+def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quality = q_doc_lang_quality(spark, sf_dir)
+    rep = q_doc_repetition(spark, sf_dir).select(
+        "doc_id", "dup_word_frac", "top_word_frac"
+    )
+    contaminated = q_doc_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_cont")
+    )
+    canon = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("_th"))
+        .agg(F.min("doc_id").cast("bigint").alias("_keep"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5("text").alias("_th"),
+    )
+    j = (
+        docs.join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .join(canon, "_th")
+    )
+    fail_short = ~F.col("long_enough")
+    fail_lang = F.col("lang_guess") != "en"
+    fail_quality = F.col("quality") < _FPIPE_MIN_QUALITY
+    fail_rep = (
+        F.coalesce(F.col("dup_word_frac"), F.lit(0.0)) > _FPIPE_MAX_DUP_FRAC
+    ) | (F.coalesce(F.col("top_word_frac"), F.lit(0.0)) > _FPIPE_MAX_TOP_WORD)
+    fail_cont = F.coalesce(F.col("_cont"), F.lit(False))
+    fail_dup = F.col("doc_id") != F.col("_keep")
+    keep = ~(
+        fail_short | fail_lang | fail_quality | fail_rep | fail_cont | fail_dup
+    )
+    return j.select(
+        "doc_id",
+        keep.alias("keep"),
+        fail_short.alias("fail_short"),
+        fail_lang.alias("fail_lang"),
+        fail_quality.alias("fail_quality"),
+        fail_rep.alias("fail_repetition"),
+        fail_cont.alias("fail_contaminated"),
+        fail_dup.alias("fail_duplicate"),
+    )
+
+
+SQL_DOC_FILTER_PIPELINE = f"""
+with q as ({{Q}}),
+r as ({{R}}),
+c as ({{C}}),
+canon as (
+  select md5(text) as th, cast(min(doc_id) as bigint) as keep_id
+  from documents group by 1
+),
+d as (
+  select cast(doc_id as bigint) as doc_id, md5(text) as th from documents
+),
+flags as (
+  select d.doc_id,
+    not q.long_enough as fail_short,
+    q.lang_guess <> 'en' as fail_lang,
+    q.quality < {_FPIPE_MIN_QUALITY} as fail_quality,
+    coalesce(r.dup_word_frac, 0.0) > {_FPIPE_MAX_DUP_FRAC}
+      or coalesce(r.top_word_frac, 0.0) > {_FPIPE_MAX_TOP_WORD}
+      as fail_repetition,
+    c.doc_id is not null as fail_contaminated,
+    d.doc_id <> canon.keep_id as fail_duplicate
+  from d
+  join q on q.doc_id = d.doc_id
+  join r on r.doc_id = d.doc_id
+  left join c on c.doc_id = d.doc_id
+  join canon on canon.th = d.th
+)
+select doc_id,
+       not (fail_short or fail_lang or fail_quality or fail_repetition
+            or fail_contaminated or fail_duplicate) as keep,
+       fail_short, fail_lang, fail_quality, fail_repetition,
+       fail_contaminated, fail_duplicate
+from flags
+"""
+
+SQL_DOC_FILTER_PIPELINE = SQL_DOC_FILTER_PIPELINE.format(
+    Q=SQL_DOC_LANG_QUALITY, R=SQL_DOC_REPETITION, C=SQL_DOC_DECONTAMINATE
+)
+
+
 _FP_K = 8  # k-gram length (chars)
 _FP_W = 4  # winnowing guarantee window (grams)
 _FP_B = 257
@@ -4557,6 +4657,7 @@ QUERIES = {
     "doc_simhash_recall": q_doc_simhash_recall,
     "doc_ngram_near_dup": q_doc_ngram_near_dup,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_filter_pipeline": q_doc_filter_pipeline,
     "image_phash_dedup": q_image_phash_dedup,
     "image_phash_near_dup": q_image_phash_near_dup,
     "pair_dedup_clusters": q_pair_dedup_clusters,
@@ -4610,6 +4711,7 @@ ORACLES = {
     "doc_simhash_recall": SQL_DOC_SIMHASH_RECALL,
     "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
     "doc_decontaminate": SQL_DOC_DECONTAMINATE,
+    "doc_filter_pipeline": SQL_DOC_FILTER_PIPELINE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
