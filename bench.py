@@ -85,6 +85,7 @@ HEADLINE_QUERIES = [
     "image_phash_dedup",
     "image_phash_near_dup",
     "pair_dedup_clusters",
+    "image_dhash",
     "audio_features",
     "doc_fingerprint",
     "doc_ngram_near_dup",

@@ -2641,6 +2641,106 @@ def q_pair_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash perceptual fingerprint computed from DECODED
+    pixels — the end-to-end proof that the from-scratch image codecs
+    (PNG16 + HGT here; the table mixes both formats) feed the dedup
+    path correctly.
+
+    Per image: decode bytes → 20×20 int16 block → 5×5 grid of 4×4-cell
+    SUMS (integer-exact; comparing sums ≡ comparing means) → 40-bit
+    hash (20 horizontal + 20 vertical neighbor comparisons).  The
+    DuckDB twin never touches the bytes: it re-derives every pixel from
+    the caption-addressed terrain formula and computes the same hash in
+    SQL — so a single flipped bit anywhere in PNG inflate/unfilter or
+    HGT byte order breaks the oracle.  Scale: one Arrow decode pass,
+    no shuffle at all until the consumer aggregates.
+    """
+    import pandas as pd
+
+    from demeton_spark.codec import decode_heights_png, decode_hgt
+
+    imgs = _contract_images(spark, sf_dir).select("image_id", "bytes", "fmt", "w")
+
+    def compute(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for iid, blob, fmt, w in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"]
+            ):
+                if fmt == "hgt":
+                    grid = decode_hgt(bytes(blob), int(w))
+                else:
+                    grid = decode_heights_png(bytes(blob))
+                s = grid.astype(np.int64).reshape(5, 4, 5, 4).sum(axis=(1, 3))
+                val = 0
+                for idx, b in enumerate((s[:, :-1] > s[:, 1:]).ravel()):
+                    val |= int(b) << idx
+                for idx, b in enumerate((s[:-1, :] > s[1:, :]).ravel()):
+                    val |= int(b) << (20 + idx)
+                ids.append(iid)
+                hashes.append(val)
+            yield pd.DataFrame({"image_id": ids, "dhash": hashes})
+
+    return imgs.mapInPandas(compute, "image_id string, dhash bigint")
+
+
+SQL_IMAGE_DHASH = r"""
+with img as (
+  select image_id, caption
+  from read_parquet('/root/repo/data/synth_images/sf0.01/*.parquet')
+),
+parsed as (
+  select image_id,
+    cast(regexp_extract(caption, 'N(\d+)E(\d+)', 1) as int) as ty,
+    cast(regexp_extract(caption, 'N(\d+)E(\d+)', 2) as int) as tx,
+    cast(regexp_extract(caption, 'block \((\d+),(\d+)\)', 1) as int) as bx,
+    cast(regexp_extract(caption, 'block \((\d+),(\d+)\)', 2) as int) as by
+  from img
+),
+px as (
+  select p.image_id,
+         ((p.ty - 45) * 6 + (p.tx - 13)) * 9 + p.by * 3 + p.bx as base_index,
+         p.tx * 60 + p.bx * 20 + lx.v as gx,
+         p.ty * 60 + p.by * 20 + ly.v as gy,
+         lx.v as lx, ly.v as ly
+  from parsed p
+  cross join (select unnest(generate_series(0, 19)) as v) lx
+  cross join (select unnest(generate_series(0, 19)) as v) ly
+),
+h as (
+  select image_id, lx // 4 as c, ly // 4 as r,
+    case when base_index % 16 = 5 and ly % 7 = 0 and lx % 5 = 0
+         then -32768
+         else cast(round(500.0 + 400.0 * sin(2 * pi() * gx / 1200.0)
+                                       * cos(2 * pi() * gy / 1200.0)) as int)
+    end as hv
+  from px
+),
+cells as (select image_id, r, c, sum(hv) as s from h group by 1, 2, 3),
+hbits as (
+  select a.image_id,
+         sum(case when a.s > b.s
+                  then cast(1 as bigint) << (a.r * 4 + a.c) else 0 end) as hb
+  from cells a
+  join cells b on b.image_id = a.image_id and b.r = a.r and b.c = a.c + 1
+  group by 1
+),
+vbits as (
+  select a.image_id,
+         sum(case when a.s > b.s
+                  then cast(1 as bigint) << (20 + a.r * 5 + a.c) else 0 end) as vb
+  from cells a
+  join cells b on b.image_id = a.image_id and b.c = a.c and b.r = a.r + 1
+  group by 1
+)
+select hb_t.image_id, cast(hb_t.hb + vb_t.vb as bigint) as dhash
+from hbits hb_t join vbits vb_t using (image_id)
+"""
+
+
 SQL_PAIR_DEDUP_CLUSTERS = """
 with recursive img as (
   select image_id, phash, caption
@@ -4661,6 +4761,7 @@ QUERIES = {
     "image_phash_dedup": q_image_phash_dedup,
     "image_phash_near_dup": q_image_phash_near_dup,
     "pair_dedup_clusters": q_pair_dedup_clusters,
+    "image_dhash": q_image_dhash,
     "audio_features": q_audio_features,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
@@ -4716,6 +4817,7 @@ ORACLES = {
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
     "pair_dedup_clusters": SQL_PAIR_DEDUP_CLUSTERS,
+    "image_dhash": SQL_IMAGE_DHASH,
     "audio_features": SQL_AUDIO_FEATURES,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_ivf_bucketed": SQL_KNN_IVF_BUCKETED,
