@@ -270,10 +270,18 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
                     trial = time.time() - t0
                     best = trial if best is None or trial < best else best
                 queries[name] = round(best, 3)
-                # queries persist() intermediates (signature barriers);
-                # drop them between queries so 27 queries x 3 trials
-                # don't accumulate cache-eviction pressure
+                # queries materialize intermediates (signature barriers,
+                # localCheckpoints); drop them between queries so 40+
+                # queries x 3 trials don't accumulate block-manager
+                # pressure.  localCheckpoint RDD blocks are only freed
+                # when the Python-side DataFrame is garbage-collected
+                # (ContextCleaner), so collect explicitly — without it
+                # late queries in the sweep run against a full block
+                # manager and slow an order of magnitude.
                 spark.catalog.clearCache()
+                import gc
+
+                gc.collect()
         return hs, queries
     finally:
         spark.stop()

@@ -106,6 +106,79 @@ def geocell_event_counts(
     )
 
 
+def _pip_parity_col(lon, lat, verts):
+    """Crossing-number parity as ONE stateless Catalyst expression (the
+    same arithmetic as geometry.points_in_polygon, unrolled over the
+    polygon's literal vertices) — no join, no aggregation, so it runs
+    unchanged under Structured Streaming."""
+    total = F.lit(0)
+    j = len(verts) - 1
+    for i in range(len(verts)):
+        xi, yi = verts[i]
+        xj, yj = verts[j]
+        crosses = ((F.lit(yi) > lat) != (F.lit(yj) > lat)) & (
+            lon
+            < (F.lit(xj) - F.lit(xi)) * (lat - F.lit(yi))
+            / (F.lit(yj) - F.lit(yi))
+            + F.lit(xi)
+        )
+        total = total + F.when(crosses, 1).otherwise(0)
+        j = i
+    return total % 2 == 1
+
+
+def polygon_event_counts(
+    events: DataFrame,
+    polys: list | None = None,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-polygon event counts: streaming points-in-polygons.
+
+    Each event row evaluates the crossing-number test against every
+    (static, broadcast-literal) polygon as a stateless projection —
+    vertices are plain Python floats unrolled into the expression, the
+    streaming twin of ``queries.q_geo_points_in_polygons``'s edge-join
+    parity.  The ONLY stateful operator is the final watermarked
+    (window, polygon) count, so state is bounded by polygons × open
+    windows regardless of stream volume.  Points derive in-world the
+    way ``geo_point_elevation`` derives them.
+    """
+    if polys is None:
+        from .zonal import zonal_demo_polygons
+
+        polys = zonal_demo_polygons()
+    ts = F.col("ts").cast("timestamp")
+    lon = (F.col("event_id") * 48271 % 1999).cast("double") / 1999.0 * 2.0 + 13.0
+    lat = (F.col("user_id") * 16807 % 1997).cast("double") / 1997.0 * 2.0 + 45.0
+    pts = events.select(
+        ts.alias("ts"), "value", lon.alias("lon"), lat.alias("lat")
+    )
+    hit_cols = [
+        F.when(
+            _pip_parity_col(F.col("lon"), F.col("lat"), verts), F.lit(pid)
+        ).cast("int")
+        for pid, verts in polys
+    ]
+    hits = pts.select(
+        "ts", "value", F.explode(F.array(*hit_cols)).alias("poly_id")
+    ).where(F.col("poly_id").isNotNull())
+    return (
+        hits.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "poly_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "poly_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame,
     gap: str = "1 hour",

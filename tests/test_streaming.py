@@ -355,3 +355,66 @@ def test_geocell_counts_stream_equals_batch(spark, events_dir, tmp_path):
     assert canon(got) == canon(batch)
     assert len(batch) > 0
     assert all(0 <= r["cell_id"] < 6 * 4**8 for r in batch)
+
+
+def test_polygon_counts_stream_equals_batch(spark, events_dir, tmp_path):
+    """The unrolled crossing-number parity is a stateless projection,
+    so streaming points-in-polygons equals the batch run; a numpy PIP
+    over the same derived points pins the geometry."""
+    import numpy as np
+
+    from demeton_spark.geometry import points_in_polygon
+    from demeton_spark.zonal import zonal_demo_polygons
+
+    # a polygon covering most of the world (all fixture points), one
+    # small triangle (exactly one point), one empty
+    polys = [
+        (0, [(13.0, 45.0), (14.9, 45.0), (14.9, 46.9), (13.0, 46.9)]),
+        (1, [(13.2, 45.7), (13.4, 45.7), (13.3, 45.95)]),
+        (2, [(13.01, 45.01), (13.02, 45.01), (13.015, 45.02)]),
+    ]
+    stream_in = streaming.read_events_stream(
+        spark, events_dir, max_files_per_trigger=1
+    )
+    got = streaming.run_to_memory(
+        streaming.polygon_event_counts(stream_in, polys=polys),
+        "poly_counts",
+        str(tmp_path / "ckpt_polys"),
+        output_mode="complete",
+    ).collect()
+
+    batch_df = spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir)
+    batch = streaming.polygon_event_counts(batch_df, polys=polys).collect()
+
+    canon = lambda rows: sorted(  # noqa: E731
+        (r["window_start"], r["poly_id"], r["n_events"], r["sum_value"])
+        for r in rows
+    )
+    assert canon(got) == canon(batch)
+    # points span multiple windows AND multiple polygons
+    assert len({r["window_start"] for r in batch}) > 1
+    assert len({r["poly_id"] for r in batch}) == 2  # poly 2 is empty
+
+    # numpy oracle: total hits per polygon across all windows
+    ev = batch_df.select("event_id", "user_id").toPandas()
+    lon = (ev["event_id"] * 48271 % 1999).astype(float) / 1999.0 * 2.0 + 13.0
+    lat = (ev["user_id"] * 16807 % 1997).astype(float) / 1997.0 * 2.0 + 45.0
+    want = {}
+    for pid, verts in polys:
+        vx, vy = zip(*verts)
+        n = int(points_in_polygon(
+            lon.to_numpy(), lat.to_numpy(), np.asarray(vx), np.asarray(vy)
+        ).sum())
+        if n:
+            want[pid] = n
+    assert want[0] == len(ev)  # the big quad contains every point
+    got_totals = {}
+    for r in batch:
+        got_totals[r["poly_id"]] = got_totals.get(r["poly_id"], 0) + r["n_events"]
+    assert got_totals == want
+
+    # the default polygon family also runs (smoke: at least parses/plans)
+    assert streaming.polygon_event_counts(batch_df).columns == [
+        "window_start", "poly_id", "n_events", "sum_value",
+    ]
+    assert zonal_demo_polygons()  # referenced default family exists
