@@ -91,6 +91,8 @@ HEADLINE_QUERIES = [
     "doc_ngram_near_dup",
     "doc_decontaminate",
     "doc_filter_pipeline",
+    "doc_stratified_sample",
+    "events_value_quantiles",
     "knn_bruteforce",
     "knn_ivf_bucketed",
     "knn_ivf_recall",

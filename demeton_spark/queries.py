@@ -1439,6 +1439,76 @@ from hits h join sizes s on h.doc_id = s.doc_id
 """
 
 
+# --- deterministic stratified sampling ---------------------------------------
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix reweighting: keep a per-source fraction of documents
+    through a deterministic hash gate (no RNG state — reproducible
+    across runs, engines, and retries, and embarrassingly parallel:
+    the gate is a pure projection, so sampling pushes down to the scan
+    at any scale).  The per-source rate derives from the source id;
+    in production it is the mixing-weight table."""
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate = F.lit(10) + (srcnum * 7) % 80
+    gate = _word_hash(F.col("doc_id").cast("string"), 7) % 100
+    return docs.where(gate < rate).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "lang",
+        rate.cast("int").alias("pct"),
+    )
+
+
+SQL_DOC_STRATIFIED_SAMPLE = rf"""
+select cast(doc_id as bigint) as doc_id, source, lang,
+       cast(10 + (cast(regexp_extract(source, '(\d+)', 1) as int) * 7) % 80
+            as int) as pct
+from documents
+where {_sql_word_hash("cast(doc_id as varchar)", 7)} % 100
+      < 10 + (cast(regexp_extract(source, '(\d+)', 1) as int) * 7) % 80
+"""
+
+
+# --- exact grouped quantiles --------------------------------------------------
+
+
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantiles of event value per type
+    (the §2.4 aggregation family's order-statistics member).  Exact
+    percentile (sort-based) rather than a sketch so the DuckDB twin
+    (quantile_cont) matches to rounding; at 10^12 rows the same query
+    swaps in approx_percentile with a disclosed error bound."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            q.alias("_q"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("_q")[0], 6).alias("p25"),
+            F.round(F.col("_q")[1], 6).alias("p50"),
+            F.round(F.col("_q")[2], 6).alias("p75"),
+        )
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+select event_type,
+       cast(count(*) as bigint) as n,
+       round(quantile_cont(value, 0.25), 6) as p25,
+       round(quantile_cont(value, 0.5), 6) as p50,
+       round(quantile_cont(value, 0.75), 6) as p75
+from events
+group by event_type
+"""
+
+
 # --- curation filter pipeline ------------------------------------------------
 #
 # The user-facing finish of the text-curation family: one verdict row
@@ -4758,6 +4828,8 @@ QUERIES = {
     "doc_ngram_near_dup": q_doc_ngram_near_dup,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_filter_pipeline": q_doc_filter_pipeline,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "events_value_quantiles": q_events_value_quantiles,
     "image_phash_dedup": q_image_phash_dedup,
     "image_phash_near_dup": q_image_phash_near_dup,
     "pair_dedup_clusters": q_pair_dedup_clusters,
@@ -4813,6 +4885,8 @@ ORACLES = {
     "doc_ngram_near_dup": SQL_DOC_NGRAM_NEAR_DUP,
     "doc_decontaminate": SQL_DOC_DECONTAMINATE,
     "doc_filter_pipeline": SQL_DOC_FILTER_PIPELINE,
+    "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
+    "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "image_phash_near_dup": SQL_IMAGE_PHASH_NEAR_DUP,
     "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
