@@ -56,6 +56,7 @@ HEADLINE_QUERIES = [
     "geo_points_in_polygons",
     "geo_zonal_stats",
     "geo_point_elevation",
+    "geo_polygon_overlaps",
     "tile_metadata_join",
     "bbox_cover",
     "polygon_clip",

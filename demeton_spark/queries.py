@@ -4786,6 +4786,281 @@ from per
 """
 
 
+# --- polygon ↔ polygon spatial join ------------------------------------------
+#
+# The spatial-join class the point and raster queries don't cover: which
+# polygons of set A overlap which of set B.  Candidates come from a
+# shared-1°-cell equi-join of the two bbox covers (never all-pairs);
+# verification is complete for convex polygons: A∩B ≠ ∅ iff a vertex of
+# one lies in the other OR some edge pair properly crosses.  All three
+# signals are the machinery already proven here — crossing-number
+# parity (geo_points_in_polygons) and the O'Rourke orientation test
+# (geometry.segments_intersection_kind) as Catalyst arithmetic.
+# Vertices are Python-float literals on BOTH engines.
+
+
+def _ppoly_family(n: int, kmult: int, cx0: float, cy0: float, phase0: float):
+    import math
+
+    out = []
+    for p in range(n):
+        k = 3 + (p * kmult) % 6
+        cx = cx0 + (p * 37 % 100) / 20.0
+        cy = cy0 + (p * 53 % 100) / 25.0
+        r = 0.4 + (p % 5) * 0.3
+        verts = [
+            (
+                cx + r * math.cos(2.0 * math.pi * i / k + phase0 + 0.7 * p),
+                cy + 0.8 * r * math.sin(2.0 * math.pi * i / k + phase0 + 0.7 * p),
+            )
+            for i in range(k)
+        ]
+        out.append((p, verts))
+    return out
+
+
+_PPA = None
+_PPB = None
+
+
+def _ppoly_sets():
+    global _PPA, _PPB
+    if _PPA is None:
+        _PPA = _ppoly_family(8, 1, 10.25, 40.25, 0.3)
+        _PPB = _ppoly_family(10, 2, 10.75, 40.55, 1.1)
+    return _PPA, _PPB
+
+
+def _ppoly_edges_df(spark: SparkSession, polys, id_col: str) -> DataFrame:
+    rows = []
+    for pid, verts in polys:
+        j = len(verts) - 1
+        for i in range(len(verts)):
+            rows.append(
+                (pid, verts[j][0], verts[j][1], verts[i][0], verts[i][1])
+            )
+            j = i
+    return spark.createDataFrame(
+        rows, f"{id_col} int, x1 double, y1 double, x2 double, y2 double"
+    )
+
+
+def _ppoly_verts_df(spark: SparkSession, polys, id_col: str) -> DataFrame:
+    rows = [
+        (pid, i, x, y)
+        for pid, verts in polys
+        for i, (x, y) in enumerate(verts)
+    ]
+    return spark.createDataFrame(
+        rows, f"{id_col} int, vi int, vx double, vy double"
+    )
+
+
+def _ppoly_cover_df(spark: SparkSession, polys, id_col: str) -> DataFrame:
+    import math
+
+    rows = []
+    for pid, verts in polys:
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        for cx in range(math.floor(min(xs)), math.floor(max(xs)) + 1):
+            for cy in range(math.floor(min(ys)), math.floor(max(ys)) + 1):
+                rows.append((pid, cx, cy))
+    return spark.createDataFrame(rows, f"{id_col} int, cx int, cy int")
+
+
+def _pip_parity_counts(
+    verts: DataFrame, edges: DataFrame, pairs: DataFrame,
+    vid: str, eid: str, out_name: str,
+) -> DataFrame:
+    """Per candidate pair: how many vertices of ``vid``'s polygon fall
+    inside ``eid``'s polygon (crossing-number parity over the edge
+    table, all Catalyst)."""
+    cand = verts.join(pairs, vid)
+    crosses = (
+        (F.col("y1") > F.col("vy")) != (F.col("y2") > F.col("vy"))
+    ) & (
+        F.col("vx")
+        < (F.col("x2") - F.col("x1")) * (F.col("vy") - F.col("y1"))
+        / (F.col("y2") - F.col("y1"))
+        + F.col("x1")
+    )
+    parity = (
+        cand.join(edges, eid)
+        .groupBy(vid, eid, "vi")
+        .agg(F.sum(crosses.cast("int")).alias("nc"))
+        .where(F.col("nc") % 2 == 1)
+    )
+    return parity.groupBy(vid, eid).agg(F.count("*").alias(out_name))
+
+
+def q_geo_polygon_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa, pb = _ppoly_sets()
+    pairs = (
+        _ppoly_cover_df(spark, pa, "a_id")
+        .join(_ppoly_cover_df(spark, pb, "b_id"), ["cx", "cy"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = _ppoly_verts_df(spark, pa, "a_id")
+    vb = _ppoly_verts_df(spark, pb, "b_id")
+    ea = _ppoly_edges_df(spark, pa, "a_id")
+    eb = _ppoly_edges_df(spark, pb, "b_id")
+
+    a_in_b = _pip_parity_counts(va, eb, pairs, "a_id", "b_id", "n_av_in_b")
+    b_in_a = _pip_parity_counts(vb, ea, pairs, "b_id", "a_id", "n_bv_in_a")
+
+    # proper edge crossings: strict orientation sign flips on both
+    # segments (Computational Geometry in C, p. 30 — the same test
+    # geometry.segments_intersection_kind applies)
+    eaj = ea.join(pairs, "a_id")
+    both = eaj.join(
+        eb.select(
+            "b_id",
+            F.col("x1").alias("u1"), F.col("y1").alias("v1"),
+            F.col("x2").alias("u2"), F.col("y2").alias("v2"),
+        ),
+        "b_id",
+    )
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    d1 = cross(F.col("u1"), F.col("v1"), F.col("u2"), F.col("v2"),
+               F.col("x1"), F.col("y1"))
+    d2 = cross(F.col("u1"), F.col("v1"), F.col("u2"), F.col("v2"),
+               F.col("x2"), F.col("y2"))
+    d3 = cross(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+               F.col("u1"), F.col("v1"))
+    d4 = cross(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+               F.col("u2"), F.col("v2"))
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    ex = both.groupBy("a_id", "b_id").agg(
+        F.sum(proper.cast("int")).alias("n_edge_x")
+    )
+
+    out = (
+        pairs.join(a_in_b, ["a_id", "b_id"], "left")
+        .join(b_in_a, ["a_id", "b_id"], "left")
+        .join(ex, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            F.coalesce("n_av_in_b", F.lit(0)).cast("bigint").alias("n_av_in_b"),
+            F.coalesce("n_bv_in_a", F.lit(0)).cast("bigint").alias("n_bv_in_a"),
+            F.coalesce("n_edge_x", F.lit(0)).cast("bigint").alias("n_edge_x"),
+        )
+    )
+    return out.where(
+        (F.col("n_av_in_b") > 0)
+        | (F.col("n_bv_in_a") > 0)
+        | (F.col("n_edge_x") > 0)
+    )
+
+
+def _ppoly_values_sql() -> tuple[str, str, str, str, str, str]:
+    pa, pb = _ppoly_sets()
+
+    def d(v: float) -> str:
+        return f"cast({v!r} as double)"
+
+    def edges(polys, idc):
+        rows = []
+        for pid, verts in polys:
+            j = len(verts) - 1
+            for i in range(len(verts)):
+                rows.append(
+                    f"({pid}, {d(verts[j][0])}, {d(verts[j][1])}, "
+                    f"{d(verts[i][0])}, {d(verts[i][1])})"
+                )
+                j = i
+        return (
+            f"select * from (values {', '.join(rows)}) "
+            f"t({idc}, x1, y1, x2, y2)"
+        )
+
+    def verts(polys, idc):
+        rows = [
+            f"({pid}, {i}, {d(x)}, {d(y)})"
+            for pid, vs in polys
+            for i, (x, y) in enumerate(vs)
+        ]
+        return f"select * from (values {', '.join(rows)}) t({idc}, vi, vx, vy)"
+
+    def cover(polys, idc):
+        import math
+
+        rows = []
+        for pid, vs in polys:
+            xs = [v[0] for v in vs]
+            ys = [v[1] for v in vs]
+            for cx in range(math.floor(min(xs)), math.floor(max(xs)) + 1):
+                for cy in range(math.floor(min(ys)), math.floor(max(ys)) + 1):
+                    rows.append(f"({pid}, {cx}, {cy})")
+        return f"select * from (values {', '.join(rows)}) t({idc}, cx, cy)"
+
+    return (
+        edges(pa, "a_id"), edges(pb, "b_id"),
+        verts(pa, "a_id"), verts(pb, "b_id"),
+        cover(pa, "a_id"), cover(pb, "b_id"),
+    )
+
+
+def _sql_polygon_overlaps() -> str:
+    ea, eb, va, vb, ca, cb = _ppoly_values_sql()
+    return f"""
+with ea as ({ea}), eb as ({eb}), va as ({va}), vb as ({vb}),
+ca as ({ca}), cb as ({cb}),
+pairs as (
+  select distinct ca.a_id, cb.b_id from ca join cb using (cx, cy)
+),
+a_in_b as (
+  select a_id, b_id, count(*) as n_av_in_b from (
+    select p.a_id, p.b_id, v.vi,
+           sum(case when ((e.y1 > v.vy) <> (e.y2 > v.vy))
+                     and v.vx < (e.x2 - e.x1) * (v.vy - e.y1)
+                                / (e.y2 - e.y1) + e.x1
+                    then 1 else 0 end) as nc
+    from pairs p join va v using (a_id) join eb e using (b_id)
+    group by 1, 2, 3
+  ) where nc % 2 = 1 group by 1, 2
+),
+b_in_a as (
+  select a_id, b_id, count(*) as n_bv_in_a from (
+    select p.a_id, p.b_id, v.vi,
+           sum(case when ((e.y1 > v.vy) <> (e.y2 > v.vy))
+                     and v.vx < (e.x2 - e.x1) * (v.vy - e.y1)
+                                / (e.y2 - e.y1) + e.x1
+                    then 1 else 0 end) as nc
+    from pairs p join vb v using (b_id) join ea e using (a_id)
+    group by 1, 2, 3
+  ) where nc % 2 = 1 group by 1, 2
+),
+ex as (
+  select p.a_id, p.b_id,
+    sum(case when
+      ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+      * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+      and
+      ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+      * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+      then 1 else 0 end) as n_edge_x
+  from pairs p join ea a using (a_id) join eb b using (b_id)
+  group by 1, 2
+)
+select p.a_id, p.b_id,
+       cast(coalesce(ab.n_av_in_b, 0) as bigint) as n_av_in_b,
+       cast(coalesce(ba.n_bv_in_a, 0) as bigint) as n_bv_in_a,
+       cast(coalesce(ex.n_edge_x, 0) as bigint) as n_edge_x
+from pairs p
+left join a_in_b ab using (a_id, b_id)
+left join b_in_a ba using (a_id, b_id)
+left join ex using (a_id, b_id)
+where coalesce(ab.n_av_in_b, 0) > 0 or coalesce(ba.n_bv_in_a, 0) > 0
+   or coalesce(ex.n_edge_x, 0) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4799,6 +5074,7 @@ QUERIES = {
     "geo_points_in_polygons": q_geo_points_in_polygons,
     "geo_zonal_stats": q_geo_zonal_stats,
     "geo_point_elevation": q_geo_point_elevation,
+    "geo_polygon_overlaps": q_geo_polygon_overlaps,
     "bbox_cover": q_bbox_cover,
     "polygon_clip": q_polygon_clip,
     "pyramid_parents": q_pyramid_parents,
@@ -4856,6 +5132,7 @@ ORACLES = {
     "geo_points_in_polygons": SQL_GEO_POINTS_IN_POLYGONS,
     "geo_zonal_stats": _sql_zonal_stats(),
     "geo_point_elevation": SQL_GEO_POINT_ELEVATION,
+    "geo_polygon_overlaps": _sql_polygon_overlaps(),
     "bbox_cover": SQL_BBOX_COVER,
     "polygon_clip": SQL_POLYGON_CLIP,
     "pyramid_parents": SQL_PYRAMID_PARENTS,
