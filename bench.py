@@ -100,6 +100,7 @@ HEADLINE_QUERIES = [
     "kmeans_centroids",
     "knn_ivf_kmeans",
     "emb_near_dup_pairs",
+    "emb_dedup_clusters",
     "emb_near_dup_recall",
     "embedding_label_stats",
 ]

@@ -2005,6 +2005,45 @@ with {_SQL_NORMED_EMB},
 select vec_a, vec_b, cosine from verified where cosine >= 0.4
 """
 
+def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive embedding-dedup clusters: connected components over
+    the LSH-verified cosine pairs — the embedding twin of
+    ``doc_dedup_clusters`` (semantic near-dups chain A~B~C into one
+    cluster even when cos(A,C) falls below threshold).  Same linear
+    cluster-table output; the alternating-star CC bound applies."""
+    from demeton_spark.graph import connected_components
+
+    normed = _normed_emb(spark, sf_dir).localCheckpoint()
+    pairs = _emb_verified(normed).where(F.col("cosine") >= 0.4)
+    nodes = normed.select(F.col("vec_id").alias("node"))
+    cc = connected_components(
+        nodes, pairs.select("vec_a", "vec_b"), "node", ("vec_a", "vec_b")
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )
+
+
+SQL_EMB_DEDUP_CLUSTERS = f"""
+with recursive {_SQL_NORMED_EMB},
+{_SQL_EMB_VERIFIED},
+pairs as (select vec_a, vec_b from verified where cosine >= 0.4),
+edges as (
+  select vec_a as a, vec_b as b from pairs
+  union all
+  select vec_b as a, vec_a as b from pairs
+),
+reach(node, root) as (
+  select cast(vec_id as bigint), cast(vec_id as bigint) from embeddings
+  union
+  select e.b, r.root from reach r join edges e on e.a = r.node
+)
+select node as vec_id, cast(min(root) as bigint) as cluster_id
+from reach group by node
+"""
+
+
 _EMB_RECALL_SLICE = 500
 
 
@@ -5119,6 +5158,7 @@ QUERIES = {
     "knn_ivf_kmeans": q_knn_ivf_kmeans,
     "knn_ivf_kmeans_recall": q_knn_ivf_kmeans_recall,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "emb_dedup_clusters": q_emb_dedup_clusters,
     "emb_near_dup_recall": q_emb_near_dup_recall,
     "embedding_label_stats": q_embedding_label_stats,
 }
@@ -5177,6 +5217,7 @@ ORACLES = {
     "knn_ivf_kmeans": SQL_KNN_IVF_KMEANS,
     "knn_ivf_kmeans_recall": SQL_KNN_IVF_KMEANS_RECALL,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
+    "emb_dedup_clusters": SQL_EMB_DEDUP_CLUSTERS,
     "emb_near_dup_recall": SQL_EMB_NEAR_DUP_RECALL,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     # raster contract queries (defined in __spark_entry__) whose synthetic

@@ -45,3 +45,23 @@ def test_quantiles_match_numpy(spark):
         for p, col in ((25, "p25"), (50, "p50"), (75, "p75")):
             assert abs(r[col] - np.percentile(v, p)) < 1e-6, (r["event_type"], p)
         assert r["p25"] <= r["p50"] <= r["p75"]
+
+
+def test_emb_dedup_clusters_mass_and_transitivity(spark):
+    from demeton_spark.queries import q_emb_dedup_clusters, q_emb_near_dup_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in q_emb_dedup_clusters(spark, sf_dir).collect()
+    }
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert len(clusters) == n  # every vector labeled, singletons included
+    # every verified near-dup pair lands in one cluster, and the label
+    # is the component minimum
+    pairs = q_emb_near_dup_pairs(spark, sf_dir).collect()
+    for p in pairs:
+        assert clusters[p["vec_a"]] == clusters[p["vec_b"]]
+        assert clusters[p["vec_a"]] <= min(p["vec_a"], p["vec_b"])
