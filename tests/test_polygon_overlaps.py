@@ -83,3 +83,44 @@ def test_no_cartesian_product_in_plan(spark):
     df = q_geo_polygon_overlaps(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_catalyst_pip_parity_matches_numpy_on_random_polygons(spark):
+    """The unrolled crossing-number expression (streaming PIP and the
+    overlap join's containment arm) agrees with the numpy kernel on
+    hundreds of random points x random star-shaped polygons — one Spark
+    job evaluates every (point, polygon) cell."""
+    import pyspark.sql.functions as F
+
+    from demeton_spark.streaming import _pip_parity_col
+
+    rng = np.random.default_rng(7)
+    polys = []
+    for pid in range(6):
+        k = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.5, 2.0, k)
+        cx, cy = rng.uniform(-3, 3, 2)
+        polys.append(
+            (pid, [(float(cx + r * np.cos(a)), float(cy + r * np.sin(a)))
+                   for a, r in zip(ang, rad)])
+        )
+    pts = rng.uniform(-5, 5, (400, 2))
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "i int, lon double, lat double",
+    )
+    cols = [
+        _pip_parity_col(F.col("lon"), F.col("lat"), verts)
+        .cast("int").alias(f"p{pid}")
+        for pid, verts in polys
+    ]
+    got = {r["i"]: [r[f"p{pid}"] for pid, _ in polys]
+           for r in df.select("i", *cols).collect()}
+    for pid, verts in polys:
+        vx, vy = zip(*verts)
+        want = points_in_polygon(
+            pts[:, 0], pts[:, 1], np.asarray(vx), np.asarray(vy)
+        )
+        for i in range(len(pts)):
+            assert got[i][pid] == int(want[i]), (i, pid)
