@@ -1543,7 +1543,7 @@ def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         docs.join(quality, "doc_id")
         .join(rep, "doc_id")
-        .join(F.broadcast(contaminated), "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
         .join(canon, "_th")
     )
     fail_short = ~F.col("long_enough")
@@ -2694,13 +2694,20 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_IMAGE_PHASH_DEDUP = """
+def sql_image_phash_dedup(sf: float = 0.01) -> str:
+    """Oracle builder: the contract string pins the driver's sf0.01
+    fixture; tools/oracle_check regenerates per-sf via FIXTURE_ORACLES
+    so the gate is portable across scale factors."""
+    return f"""
 select phash,
        min(image_id) as keep_id,
        cast(count(*) as int) as copies
-from read_parquet('/root/repo/data/synth_images/sf0.01/*.parquet')
+from read_parquet('/root/repo/data/synth_images/sf{sf}/*.parquet')
 group by phash
 """
+
+
+SQL_IMAGE_PHASH_DEDUP = sql_image_phash_dedup()
 
 
 def _contract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2809,10 +2816,14 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(compute, "image_id string, dhash bigint")
 
 
-SQL_IMAGE_DHASH = r"""
+def sql_image_dhash(sf: float = 0.01) -> str:
+    from demeton_spark.synth import contract_spec_for_sf
+
+    side = contract_spec_for_sf(sf).n_tiles_x
+    return rf"""
 with img as (
   select image_id, caption
-  from read_parquet('/root/repo/data/synth_images/sf0.01/*.parquet')
+  from read_parquet('/root/repo/data/synth_images/sf{sf}/*.parquet')
 ),
 parsed as (
   select image_id,
@@ -2824,7 +2835,8 @@ parsed as (
 ),
 px as (
   select p.image_id,
-         ((p.ty - 45) * 6 + (p.tx - 13)) * 9 + p.by * 3 + p.bx as base_index,
+         ((p.ty - 45) * {side} + (p.tx - 13)) * 9 + p.by * 3 + p.bx
+           as base_index,
          p.tx * 60 + p.bx * 20 + lx.v as gx,
          p.ty * 60 + p.by * 20 + ly.v as gy,
          lx.v as lx, ly.v as ly
@@ -2863,10 +2875,14 @@ from hbits hb_t join vbits vb_t using (image_id)
 """
 
 
-SQL_PAIR_DEDUP_CLUSTERS = """
+SQL_IMAGE_DHASH = sql_image_dhash()
+
+
+def sql_pair_dedup_clusters(sf: float = 0.01) -> str:
+    return f"""
 with recursive img as (
   select image_id, phash, caption
-  from read_parquet('/root/repo/data/synth_images/sf0.01/*.parquet')
+  from read_parquet('/root/repo/data/synth_images/sf{sf}/*.parquet')
 ),
 pe as (
   select i.image_id as a, g.b
@@ -2895,6 +2911,9 @@ select l.label as cluster_id,
 from img i join labels l on i.image_id = l.node
 group by 1
 """
+
+
+SQL_PAIR_DEDUP_CLUSTERS = sql_pair_dedup_clusters()
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2936,10 +2955,11 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_AUDIO_FEATURES = """
+def sql_audio_features(sf: float = 0.01) -> str:
+    return f"""
 with clips as (
   select audio_id, a, n, rate
-  from read_parquet('/root/repo/data/synth_audio/sf0.01/*.parquet')
+  from read_parquet('/root/repo/data/synth_audio/sf{sf}/*.parquet')
 ),
 samples as (
   select c.audio_id, c.n, c.rate, u.t,
@@ -2969,6 +2989,18 @@ select b.audio_id, b.n_samples, b.sample_rate, b.duration_ms, b.rms, b.peak,
        z.zero_crossings
 from base b join zc z using (audio_id)
 """
+
+
+SQL_AUDIO_FEATURES = sql_audio_features()
+
+#: fixture-pinned oracles the driver checks at sf0.01; oracle_check
+#: regenerates these per-sf so the gate stays portable
+FIXTURE_ORACLES = {
+    "image_phash_dedup": sql_image_phash_dedup,
+    "image_dhash": sql_image_dhash,
+    "pair_dedup_clusters": sql_pair_dedup_clusters,
+    "audio_features": sql_audio_features,
+}
 
 
 def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4625,16 +4657,12 @@ left join (
 
 # --- zonal statistics: raster↔vector aggregate join -------------------------
 
-_ZONAL_POLYS = None  # computed lazily to keep import light
-
-
 def _zonal_polys():
-    global _ZONAL_POLYS
-    if _ZONAL_POLYS is None:
-        from demeton_spark.zonal import zonal_demo_polygons
+    # the ORACLES literal calls _sql_zonal_stats() at import, so there
+    # is nothing to defer — resolve directly
+    from demeton_spark.zonal import zonal_demo_polygons
 
-        _ZONAL_POLYS = zonal_demo_polygons()
-    return _ZONAL_POLYS
+    return zonal_demo_polygons()
 
 
 def _cq_tiles(spark: SparkSession) -> DataFrame:
@@ -4717,10 +4745,18 @@ from world where {pip}""")
 # (SCALE.md) — one shuffle of 4 int-keyed rows per point, no pixels.
 
 
-def _pelev_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+def pelev_lonlat_cols():
+    """The shared in-world point derivation (events carry no geo
+    columns): also consumed by streaming.polygon_event_counts, so the
+    batch and streaming spatial queries sample identical points."""
     lon = (F.col("event_id") * 48271 % 1999).cast("double") / 1999.0 * 2.0 + 13.0
     lat = (F.col("user_id") * 16807 % 1997).cast("double") / 1997.0 * 2.0 + 45.0
+    return lon, lat
+
+
+def _pelev_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lon, lat = pelev_lonlat_cols()
     return ev.select(
         F.col("event_id").cast("bigint").alias("event_id"),
         lon.alias("lon"),
@@ -4878,8 +4914,25 @@ _PPB = None
 def _ppoly_sets():
     global _PPA, _PPB
     if _PPA is None:
+        import math
+
         _PPA = _ppoly_family(8, 1, 10.25, 40.25, 0.3)
         _PPB = _ppoly_family(10, 2, 10.75, 40.55, 1.1)
+        # star-of-David pair: two triangles rotated 60° about one
+        # center — every vertex lies OUTSIDE the other polygon, so the
+        # overlap is detectable ONLY by the proper-edge-crossing arm
+        # (the case a pure vertex-containment join would miss)
+        def tri(phase):
+            return [
+                (
+                    19.5 + 1.0 * math.cos(2.0 * math.pi * i / 3 + phase),
+                    49.5 + 1.0 * math.sin(2.0 * math.pi * i / 3 + phase),
+                )
+                for i in range(3)
+            ]
+
+        _PPA = _PPA + [(len(_PPA), tri(0.05))]
+        _PPB = _PPB + [(len(_PPB), tri(0.05 + math.pi / 3))]
     return _PPA, _PPB
 
 
@@ -4909,16 +4962,11 @@ def _ppoly_verts_df(spark: SparkSession, polys, id_col: str) -> DataFrame:
 
 
 def _ppoly_cover_df(spark: SparkSession, polys, id_col: str) -> DataFrame:
-    import math
+    from demeton_spark.zonal import _poly_tile_cover
 
-    rows = []
-    for pid, verts in polys:
-        xs = [v[0] for v in verts]
-        ys = [v[1] for v in verts]
-        for cx in range(math.floor(min(xs)), math.floor(max(xs)) + 1):
-            for cy in range(math.floor(min(ys)), math.floor(max(ys)) + 1):
-                rows.append((pid, cx, cy))
-    return spark.createDataFrame(rows, f"{id_col} int, cx int, cy int")
+    return spark.createDataFrame(
+        _poly_tile_cover(polys), f"{id_col} int, cx int, cy int"
+    )
 
 
 def _pip_parity_counts(
@@ -5040,15 +5088,9 @@ def _ppoly_values_sql() -> tuple[str, str, str, str, str, str]:
         return f"select * from (values {', '.join(rows)}) t({idc}, vi, vx, vy)"
 
     def cover(polys, idc):
-        import math
+        from demeton_spark.zonal import _poly_tile_cover
 
-        rows = []
-        for pid, vs in polys:
-            xs = [v[0] for v in vs]
-            ys = [v[1] for v in vs]
-            for cx in range(math.floor(min(xs)), math.floor(max(xs)) + 1):
-                for cy in range(math.floor(min(ys)), math.floor(max(ys)) + 1):
-                    rows.append(f"({pid}, {cx}, {cy})")
+        rows = [f"({pid}, {cx}, {cy})" for pid, cx, cy in _poly_tile_cover(polys)]
         return f"select * from (values {', '.join(rows)}) t({idc}, cx, cy)"
 
     return (

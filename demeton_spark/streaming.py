@@ -148,9 +148,10 @@ def polygon_event_counts(
         from .zonal import zonal_demo_polygons
 
         polys = zonal_demo_polygons()
+    from .queries import pelev_lonlat_cols
+
     ts = F.col("ts").cast("timestamp")
-    lon = (F.col("event_id") * 48271 % 1999).cast("double") / 1999.0 * 2.0 + 13.0
-    lat = (F.col("user_id") * 16807 % 1997).cast("double") / 1997.0 * 2.0 + 45.0
+    lon, lat = pelev_lonlat_cols()
     pts = events.select(
         ts.alias("ts"), "value", lon.alias("lon"), lat.alias("lat")
     )

@@ -73,10 +73,10 @@ def test_matches_exhaustive_oracle(spark):
     # the families produce a non-trivial mix: overlaps exist, but most
     # of the 80 possible pairs don't overlap
     assert 3 <= len(want) < len(pa) * len(pb) * 0.8
-    # at least one pair overlaps by edge crossing alone (no vertex
-    # containment) — the signal a pure-PIP join would miss
-    assert any(x > 0 and ab == 0 and ba == 0 for ab, ba, x in want.values()) or \
-           any(x > 0 for _, _, x in want.values())
+    # at least one pair overlaps by edge crossing ALONE (no vertex
+    # containment either way) — the star-of-David case a pure-PIP join
+    # would miss
+    assert any(x > 0 and ab == 0 and ba == 0 for ab, ba, x in want.values())
 
 
 def test_no_cartesian_product_in_plan(spark):

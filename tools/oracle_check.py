@@ -75,6 +75,17 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # fixture-pinned oracles carry the driver's sf0.01 parquet path in
+    # their contract strings; regenerate them for the sf under test
+    # (the Spark side materializes the fixture before the oracle runs)
+    import re as _re
+
+    from demeton_spark.queries import FIXTURE_ORACLES
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    if sf != 0.01:
+        oracles = {**oracles, **{k: fn(sf) for k, fn in FIXTURE_ORACLES.items()}}
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
