@@ -106,6 +106,30 @@ HEADLINE_QUERIES = [
 ]
 
 
+def probe_steal(seconds: float = 2.0) -> float:
+    """Hypervisor-steal fraction over a short /proc/stat window.
+
+    The sandbox shows 10-25% steal drifting on a minutes scale, which
+    swings wall-clock timings 2-5x (VERDICT r3 adjudicated driver 24.5
+    vs isolated 45.4 Mpx/s on identical plans).  Recording the probe in
+    the artifact lets a reader distinguish a plan regression from a
+    contended measurement window."""
+
+    def snap():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+
+    try:
+        s0, t0 = snap()
+        time.sleep(seconds)
+        s1, t1 = snap()
+        return round((s1 - s0) / max(1, t1 - t0), 4)
+    except OSError:
+        return -1.0
+
+
 def sf_of_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -137,8 +161,8 @@ def run_hillshade_bench(spark, spec: WorldSpec, images_path: str,
     from demeton_spark.engine import run_hillshade
 
     images = spark.read.parquet(images_path)
-    elapsed, agg = None, None
-    for _ in range(trials):  # best-of-trials: the sandbox has heavy
+    times, agg = [], None
+    for _ in range(trials):  # n trials: the sandbox has heavy
         t0 = time.time()  # CPU-steal variance (3× between trials)
         shaded = run_hillshade(
             spark, images, spec.tile_size, script="elecolor|+igor",
@@ -149,22 +173,69 @@ def run_hillshade_bench(spark, spec: WorldSpec, images_path: str,
             # persisted job output defaults to the reference's level 6
             png_level=codec.RGBA_PNG_LEVEL_FAST,
         )
-        trial_agg = shaded.agg(
+        agg = shaded.agg(
             F.count("*").alias("tiles"),
             F.sum("shaded_px").alias("shaded_px"),
             F.sum("total_px").alias("total_px"),
         ).collect()[0]
-        trial = time.time() - t0
-        if elapsed is None or trial < elapsed:
-            elapsed, agg = trial, trial_agg
+        times.append(time.time() - t0)
+    # MEDIAN headline (a typical window, not the luckiest draw); the
+    # best trial stays in the artifact as supplementary evidence
+    elapsed = statistics.median(times)
     mpx = agg["total_px"] / 1e6
     return {
         "sec": round(elapsed, 3),
+        "sec_best": round(min(times), 3),
+        "n_trials": trials,
         "tiles": int(agg["tiles"]),
         "megapixels": round(mpx, 2),
         "shaded_px": int(agg["shaded_px"]),
         "mpx_per_sec": round(mpx / elapsed, 2),
     }
+
+
+def run_streaming_hillshade_bench(spark) -> float:
+    """Time the streaming hillshade twin (state-store halo exchange) on
+    the sf0.01 world, micro-batched ~4 ways via maxFilesPerTrigger, so
+    state-store overhead is a measured number next to the batch path
+    (VERDICT r3 item 8).  availableNow drains the whole table; result
+    cardinality is asserted so a silent early stop can't pass."""
+    import glob
+    import shutil
+    import tempfile
+
+    from demeton_spark import codec, streaming
+
+    spec = WORLD_BY_SF[0.01]
+    images_path = ensure_synth_table(spark, spec, 0.01)
+    nfiles = len(glob.glob(os.path.join(images_path, "part-*")))
+    per_trigger = max(1, nfiles // 4)
+    bounds = (spec.lon0, spec.lat0,
+              spec.lon0 + spec.n_tiles_x - 1, spec.lat0 + spec.n_tiles_y - 1)
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    try:
+        t0 = time.time()
+        stream_in = streaming.read_images_stream(
+            spark, images_path, max_files_per_trigger=per_trigger
+        )
+        out = streaming.run_to_memory(
+            streaming.streaming_hillshade(
+                stream_in, spec.tile_size, bounds,
+                png_level=codec.RGBA_PNG_LEVEL_FAST,
+            ),
+            "bench_stream_shaded",
+            ckpt,
+        )
+        n = out.count()
+        sec = time.time() - t0
+        expect = spec.n_tiles_x * spec.n_tiles_y
+        if n != expect:
+            raise AssertionError(
+                f"streaming hillshade emitted {n} tiles, expected {expect}"
+            )
+        return round(sec, 3)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _stage_totals(spark) -> dict:
@@ -263,17 +334,23 @@ def bench_once(cpus: int, sf_dir: str, sf: float, include_queries: bool = True,
                            for k in post}, **_peak_executor_memory(spark)}
         queries: dict[str, float] = {"hillshade": hs["sec"]}
         if include_queries:
+            # single run (not median): a state-store-overhead indicator,
+            # at sf0.01 regardless of the bench SF (streaming state is
+            # exercised, not data scale)
+            queries["streaming_hillshade"] = run_streaming_hillshade_bench(
+                spark
+            )
+        if include_queries:
             from demeton_spark.queries import QUERIES
 
             for name in HEADLINE_QUERIES:
                 fn = QUERIES[name]
-                best = None
-                for _ in range(3):  # best-of-3: sandbox CPU-steal variance
+                trials_q = []
+                for _ in range(3):  # median-of-3: sandbox CPU-steal variance
                     t0 = time.time()
                     fn(spark, sf_dir).count()
-                    trial = time.time() - t0
-                    best = trial if best is None or trial < best else best
-                queries[name] = round(best, 3)
+                    trials_q.append(time.time() - t0)
+                queries[name] = round(statistics.median(trials_q), 3)
                 # queries materialize intermediates (signature barriers,
                 # localCheckpoints); drop them between queries so 40+
                 # queries x 3 trials don't accumulate block-manager
@@ -349,9 +426,22 @@ def main() -> None:
         }))
         return
 
+    steal_before = probe_steal()
     hs, queries = bench_once(cpus, sf_dir, sf, include_queries=True)
+    steal_after = probe_steal()
     total = round(sum(queries.values()), 3)
     weak = _load_weak_scaling_artifact()
+    # COMPACT headline only — r3's artifact inlined the full weak-scaling
+    # blob, outgrew the driver's tail window and parsed as null; the full
+    # curve lives in BENCH/WEAKSCALING.json, referenced by path here.
+    weak_summary = (
+        {
+            "artifact": "BENCH/WEAKSCALING.json",
+            "flatness_vs_sf0.1": weak["flatness_vs_sf0.1"],
+        }
+        if weak
+        else None
+    )
     print(json.dumps({
         "metric": (
             "end-to-end hillshade (assemble+halo+shade, "
@@ -364,11 +454,13 @@ def main() -> None:
         "sf": sf,
         "hillshade_megapixels": hs["megapixels"],
         "hillshade_mpx_per_sec": hs["mpx_per_sec"],
+        "hillshade_sec_best": hs["sec_best"],
         "hillshade_tiles": hs["tiles"],
         "cpus": cpus,
-        # measured separately by `bench.py --weak-scaling` (minutes-long
-        # sf1.0 run); carried here so BENCH_r0N.json records the curve
-        "weak_scaling": weak,
+        "n": 3,
+        "stat": "median",
+        "steal_probe": {"before": steal_before, "after": steal_after},
+        "weak_scaling": weak_summary,
     }))
 
 

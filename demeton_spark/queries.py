@@ -1340,10 +1340,14 @@ where 2 * i >= na + nb - i
 # document (the standard n-gram-overlap decontamination rule, cf. the
 # GPT-3/PaLM appendices).  The benchmark here is a deterministic slice
 # of the documents table (doc_id % 41 = 7) so both engines derive it
-# from the same parquet.  Scale posture: the benchmark gram set is
-# dimension-sized even for real eval suites (~10^7 grams) → broadcast
-# hash join; the corpus side is one linear explode + two doc_id-keyed
-# hash-aggs, no corpus self-join anywhere.
+# from the same parquet.  Scale posture: a REAL eval suite's gram set is
+# dimension-sized (~10^7 grams → broadcastable), but this synthetic
+# slice is ~1/41 of ALL corpus grams and grows linearly with the table,
+# so the join carries NO forced broadcast hint — Spark's size-gated
+# planner (autoBroadcastJoinThreshold + AQE runtime re-plan) broadcasts
+# while the set is small and falls back to a shuffled hash join above
+# the threshold (ADVICE r3).  The corpus side stays one linear explode
+# + two doc_id-keyed hash-aggs, no corpus self-join anywhere.
 
 _DECON_N = 5  # words per contamination gram
 _DECON_SALT = 101  # distinct from minhash salts 0..15 and shingle salt 0
@@ -1381,7 +1385,7 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = g.where(~is_bench)
     sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (
-        train.join(F.broadcast(bench), "h")
+        train.join(bench, "h")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("h").alias("n_hit_grams"),
@@ -1448,9 +1452,17 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs, engines, and retries, and embarrassingly parallel:
     the gate is a pure projection, so sampling pushes down to the scan
     at any scale).  The per-source rate derives from the source id;
-    in production it is the mixing-weight table."""
+    in production it is the mixing-weight table.  A digitless source
+    extracts '' → NULL → rate 0 + base 10 in BOTH engines (ADVICE r3:
+    without the coalesce, Spark silently dropped such rows while the
+    DuckDB twin's cast('') raised — divergent behavior off-fixture)."""
     docs = _t(spark, sf_dir, "documents")
-    srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    srcnum = F.coalesce(
+        F.nullif(F.regexp_extract("source", r"(\d+)", 1), F.lit("")).cast(
+            "int"
+        ),
+        F.lit(0),
+    )
     rate = F.lit(10) + (srcnum * 7) % 80
     gate = _word_hash(F.col("doc_id").cast("string"), 7) % 100
     return docs.where(gate < rate).select(
@@ -1461,13 +1473,14 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SRCNUM = r"coalesce(try_cast(regexp_extract(source, '(\d+)', 1) as int), 0)"
+
 SQL_DOC_STRATIFIED_SAMPLE = rf"""
 select cast(doc_id as bigint) as doc_id, source, lang,
-       cast(10 + (cast(regexp_extract(source, '(\d+)', 1) as int) * 7) % 80
-            as int) as pct
+       cast(10 + ({_SQL_SRCNUM} * 7) % 80 as int) as pct
 from documents
 where {_sql_word_hash("cast(doc_id as varchar)", 7)} % 100
-      < 10 + (cast(regexp_extract(source, '(\d+)', 1) as int) * 7) % 80
+      < 10 + ({_SQL_SRCNUM} * 7) % 80
 """
 
 
@@ -1554,8 +1567,17 @@ def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (F.coalesce(F.col("top_word_frac"), F.lit(0.0)) > _FPIPE_MAX_TOP_WORD)
     fail_cont = F.coalesce(F.col("_cont"), F.lit(False))
     fail_dup = F.col("doc_id") != F.col("_keep")
+    # the eval-benchmark slice itself must never reach training:
+    # q_doc_decontaminate only flags TRAINING docs that overlap the
+    # benchmark, so without this flag benchmark docs sail through with
+    # keep=true and the composed verdict would train on the eval set
+    # (ADVICE r3)
+    fail_bench = (
+        F.col("doc_id") % _DECON_BENCH_MOD == _DECON_BENCH_REM
+    )
     keep = ~(
-        fail_short | fail_lang | fail_quality | fail_rep | fail_cont | fail_dup
+        fail_short | fail_lang | fail_quality | fail_rep | fail_cont
+        | fail_dup | fail_bench
     )
     return j.select(
         "doc_id",
@@ -1566,6 +1588,7 @@ def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fail_rep.alias("fail_repetition"),
         fail_cont.alias("fail_contaminated"),
         fail_dup.alias("fail_duplicate"),
+        fail_bench.alias("fail_benchmark"),
     )
 
 
@@ -1589,7 +1612,8 @@ flags as (
       or coalesce(r.top_word_frac, 0.0) > {_FPIPE_MAX_TOP_WORD}
       as fail_repetition,
     c.doc_id is not null as fail_contaminated,
-    d.doc_id <> canon.keep_id as fail_duplicate
+    d.doc_id <> canon.keep_id as fail_duplicate,
+    d.doc_id % {_DECON_BENCH_MOD} = {_DECON_BENCH_REM} as fail_benchmark
   from d
   join q on q.doc_id = d.doc_id
   join r on r.doc_id = d.doc_id
@@ -1598,9 +1622,9 @@ flags as (
 )
 select doc_id,
        not (fail_short or fail_lang or fail_quality or fail_repetition
-            or fail_contaminated or fail_duplicate) as keep,
+            or fail_contaminated or fail_duplicate or fail_benchmark) as keep,
        fail_short, fail_lang, fail_quality, fail_repetition,
-       fail_contaminated, fail_duplicate
+       fail_contaminated, fail_duplicate, fail_benchmark
 from flags
 """
 
@@ -2005,7 +2029,28 @@ with {_SQL_NORMED_EMB},
 select vec_a, vec_b, cosine from verified where cosine >= 0.4
 """
 
-_EMB_CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
+_EMB_CLUSTER_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _emb_snapshot(sf_dir: str) -> tuple:
+    """Data-change token for the cluster memo: (mtime_ns, size) of the
+    embeddings parquet (recursed one level for directory layouts).
+    ADVICE r3: keying only on (applicationId, sf_dir) returned stale
+    clusters if the parquet was rewritten within a session."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = _os.stat(path)
+        if _os.path.isdir(path):
+            parts = []
+            for name in sorted(_os.listdir(path)):
+                ps = _os.stat(_os.path.join(path, name))
+                parts.append((name, ps.st_mtime_ns, ps.st_size))
+            return tuple(parts)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
 
 
 def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2017,7 +2062,7 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment is localCheckpoint-materialized once per (session,
     sf_dir) — the local stand-in for the written cluster table every
     consumer reads at production scale."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _emb_snapshot(sf_dir))
     df = _EMB_CLUSTER_MEMO.get(key)
     if df is None:
         from demeton_spark.graph import connected_components
@@ -2034,7 +2079,13 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         _EMB_CLUSTER_MEMO[key] = df
         if len(_EMB_CLUSTER_MEMO) > 8:
+            # drop the oldest entry's reference and collect NOW so the
+            # ContextCleaner reclaims its localCheckpoint RDD blocks
+            # promptly instead of whenever Python GC next runs
             _EMB_CLUSTER_MEMO.pop(next(iter(_EMB_CLUSTER_MEMO)))
+            import gc as _gc
+
+            _gc.collect()
     return df
 
 
@@ -4977,13 +5028,20 @@ def _pip_parity_counts(
     inside ``eid``'s polygon (crossing-number parity over the edge
     table, all Catalyst)."""
     cand = verts.join(pairs, vid)
+    # the when() guard keeps a horizontal edge (y1 == y2) from planting a
+    # divide-by-zero under ANSI mode: the straddle conjunct is false there,
+    # but correctness must not depend on And's evaluation order; when the
+    # guard misses, vx < NULL is NULL and false & NULL = false
     crosses = (
         (F.col("y1") > F.col("vy")) != (F.col("y2") > F.col("vy"))
     ) & (
         F.col("vx")
-        < (F.col("x2") - F.col("x1")) * (F.col("vy") - F.col("y1"))
-        / (F.col("y2") - F.col("y1"))
-        + F.col("x1")
+        < F.when(
+            F.col("y2") != F.col("y1"),
+            (F.col("x2") - F.col("x1")) * (F.col("vy") - F.col("y1"))
+            / (F.col("y2") - F.col("y1"))
+            + F.col("x1"),
+        )
     )
     parity = (
         cand.join(edges, eid)

@@ -116,6 +116,14 @@ def _pip_parity_col(lon, lat, verts):
     for i in range(len(verts)):
         xi, yi = verts[i]
         xj, yj = verts[j]
+        j = i
+        if yj == yi:
+            # horizontal edge: the straddle conjunct is identically
+            # false, and emitting the term would plant a literal
+            # divide-by-zero in the plan whose safety depended on
+            # And's evaluation order under ANSI mode — skip it at
+            # plan-build time instead (vertices are Python literals)
+            continue
         crosses = ((F.lit(yi) > lat) != (F.lit(yj) > lat)) & (
             lon
             < (F.lit(xj) - F.lit(xi)) * (lat - F.lit(yi))
@@ -123,7 +131,6 @@ def _pip_parity_col(lon, lat, verts):
             + F.lit(xi)
         )
         total = total + F.when(crosses, 1).otherwise(0)
-        j = i
     return total % 2 == 1
 
 
