@@ -235,6 +235,34 @@ def _q_shade_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shade_raster_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected-raster shade command under Lambert Conformal Conic 2SP
+    — the reference's projection-pluggable shade lifecycle
+    (TileShadeCommand.fs:390-425 centers tiles via LCC; Factory.fs:10-18
+    builds any PROJ projection).  DuckDB-checked
+    (queries.SQL_SHADE_RASTER_LCC): the oracle rebuilds the full LCC
+    forward/inverse math from the raw GRS80 parameters — phi2z's
+    iterative latitude as a per-row recursive CTE — and recounts
+    shaded_px per pixel; LCC formulas are additionally pinned against
+    cs2cs control points in tests/test_projections.py."""
+    from demeton_spark.geometry import MapScale
+    from demeton_spark.projections import create_projection
+    from demeton_spark.queries import LCC_CONTRACT_SPEC
+    from demeton_spark.render import render_shaded_raster
+
+    tiles, ts = _synthetic_tiles(spark)
+    pts = [(13.2, 45.2), (14.8, 45.2), (13.2, 46.8), (14.8, 46.8)]
+    scale = MapScale(5_000_000, 96)
+    out = render_shaded_raster(
+        spark, tiles, pts, scale, tile_size=ts, raster_tile_px=64,
+        projection=create_projection(LCC_CONTRACT_SPEC, scale),
+    )
+    return out.select(
+        "rt_x", "rt_y", "width", "height", "shaded_px", "total_px",
+        "n_dem_tiles",
+    )
+
+
 def _q_hillshade_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon raster clip through the hillshade pipeline:
     tiles outside the polygon bbox prune before the shuffle, pixels
@@ -294,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q["tile_posterize"] = _q_tile_posterize
     all_q["tile_shade_xth"] = _q_tile_shade_xth
     all_q["shade_raster"] = _q_shade_raster
+    all_q["shade_raster_lcc"] = _q_shade_raster_lcc
     out = {k: all_q[k] for k in _FRONT if k in all_q}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out

@@ -68,10 +68,18 @@ def _adjust_lon(lon):
 
 
 def _phi2z(e: float, ts):
-    """Iterative latitude from ts (Common.fs:178-199), vectorized: all
-    lanes iterate together until every delta converges (<= 15 rounds)."""
+    """Iterative latitude from ts (Common.fs:178-199), vectorized with
+    PER-LANE convergence: each value applies updates until its own
+    |dphi| < EPSILON, exactly like the reference's scalar loop.  (An
+    earlier version iterated until the whole batch converged, which made
+    the result depend on batch composition — the slowest lane added
+    extra sub-EPSILON updates to already-converged lanes.  Per-lane
+    semantics are batch-invariant, match the reference, and are exactly
+    expressible as a per-row recursive CTE in the SQL oracle twin.)"""
     eccnth = e / 2.0
+    ts = np.asarray(ts, dtype=np.float64)
     phi = math.pi / 2.0 - 2.0 * np.arctan(ts)
+    active = np.ones(phi.shape, dtype=bool)
     for _ in range(15):
         con = e * np.sin(phi)
         dphi = (
@@ -79,10 +87,11 @@ def _phi2z(e: float, ts):
             - 2.0 * np.arctan(ts * np.power((1.0 - con) / (1.0 + con), eccnth))
             - phi
         )
-        phi = phi + dphi
-        if np.all(np.abs(dphi) < EPSILON):
+        phi = np.where(active, phi + dphi, phi)
+        active = active & (np.abs(dphi) >= EPSILON)
+        if not np.any(active):
             return phi
-    return np.where(np.abs(dphi) < EPSILON, phi, np.nan)
+    return np.where(~active, phi, np.nan)
 
 
 @dataclass(frozen=True)

@@ -3874,6 +3874,195 @@ from rects r left join shaded s on r.xi = s.xi and r.yi = s.yi
 """
 
 
+# Projected-raster shade under Lambert Conformal Conic 2SP
+# (__spark_entry__._q_shade_raster_lcc) — the reference's tile-shade /
+# shade commands accept any PROJ projection (TileShadeCommand.fs:390-425,
+# Factory.fs:10-18); this twin rebuilds the ENTIRE LCC math in SQL from
+# the raw public parameters (GRS80 axes, standard parallels), never from
+# the engine's derived constants:
+#   - cone constants ns/F/rho0 from msfnz/tsfnz closed forms
+#     (Common.fs:158-176) — same operation order as projections.py so
+#     the doubles are bit-identical,
+#   - forward projection of the coverage points -> raster MBR -> 64-px
+#     raster-tile split (same grid as SQL_SHADE_RASTER),
+#   - per-point INVERSE projection (rect corners +-1 px for DEM cover,
+#     every pixel for the shaded count) with phi2z's iterative latitude
+#     (Common.fs:178-199) as a per-row recursive CTE: iterate
+#     phi += dphi until |dphi| < 1e-10 (<=15 rounds), exactly the
+#     engine's per-lane convergence rule,
+#   - shaded_px by the same bilinear 4-corner non-missing rule as the
+#     Mercator twin.  Pixel VALUES stay pinned by tests/test_render.py;
+#     the LCC formulas themselves are pinned against cs2cs control
+#     points in tests/test_projections.py.
+LCC_CONTRACT_SPEC = (
+    "+proj=lcc +lon_0=14 +lat_0=45 +lat_1=45.25 +lat_2=46.75 +ellps=grs80"
+)
+
+SQL_SHADE_RASTER_LCC = f"""
+with recursive {_sql_synth_world()},
+lp as (
+  select 6378137.0 as a, 6356752.314140347 as b,
+         radians(14.0) as lon0, radians(45.0) as lat0r,
+         radians(45.25) as lat1, radians(46.75) as lat2,
+         1.0 as k0, 0.0 as px0, 0.0 as py0,
+         39.3701 * 96.0 / 5000000.0 as sf
+),
+le as (select *, sqrt(1.0 - (b / a) * (b / a)) as e from lp),
+lm as (select *,
+  cos(lat1) / sqrt(1.0 - (e * sin(lat1)) * (e * sin(lat1))) as ms1,
+  cos(lat2) / sqrt(1.0 - (e * sin(lat2)) * (e * sin(lat2))) as ms2,
+  tan(0.5 * (pi() / 2.0 - lat1))
+    / pow((1.0 - e * sin(lat1)) / (1.0 + e * sin(lat1)), e / 2.0) as ts1,
+  tan(0.5 * (pi() / 2.0 - lat2))
+    / pow((1.0 - e * sin(lat2)) / (1.0 + e * sin(lat2)), e / 2.0) as ts2,
+  tan(0.5 * (pi() / 2.0 - lat0r))
+    / pow((1.0 - e * sin(lat0r)) / (1.0 + e * sin(lat0r)), e / 2.0) as ts0
+  from le),
+ln_ as (select *, ln(ms1 / ms2) / ln(ts1 / ts2) as ns from lm),
+lf as (select *, ms1 / (ns * pow(ts1, ns)) as f0 from ln_),
+lcc as (select *, a * f0 * pow(ts0, ns) as rho0 from lf),
+pt as (select * from (values {", ".join(f"({lon!r}, {lat!r})" for lon, lat in _SR_PTS)}) v(lon, lat)),
+fwdt as (
+  select l.*,
+    a * f0 * pow(tan(0.5 * (pi() / 2.0 - radians(lat)))
+      / pow((1.0 - e * sin(radians(lat))) / (1.0 + e * sin(radians(lat))),
+            e / 2.0), ns) as rh1,
+    ns * (radians(lon) - lon0) as theta
+  from pt p cross join lcc l
+),
+fwd as (
+  select (k0 * (rh1 * sin(theta)) + px0) * sf as x,
+         (k0 * (rho0 - rh1 * cos(theta)) + py0) * sf as y
+  from fwdt
+),
+mbr as (
+  select cast(floor(min(x)) as bigint) as mnx,
+         cast(floor(min(y)) as bigint) as mny,
+         cast(ceil(max(x)) as bigint) as mxx,
+         cast(ceil(max(y)) as bigint) as mxy
+  from fwd
+),
+grid as (
+  select xi, yi,
+         mnx + xi * {_SR_PX} as rx, mny + yi * {_SR_PX} as ry,
+         cast(least({_SR_PX}, mxx - (mnx + xi * {_SR_PX})) as int) as w,
+         cast(least({_SR_PX}, mxy - (mny + yi * {_SR_PX})) as int) as h
+  from mbr
+  cross join (select unnest(generate_series(0, 63)) as xi) gxi
+  cross join (select unnest(generate_series(0, 63)) as yi) gyi
+  where mnx + xi * {_SR_PX} < mxx and mny + yi * {_SR_PX} < mxy
+),
+ipts as (
+  select xi, yi, -1 as ii, -1 as jj,
+         cast(rx - 1 as double) as xr, cast(ry - 1 as double) as yr from grid
+  union all
+  select xi, yi, -2, -2, cast(rx - 1 as double),
+         cast(ry + h + 1 as double) from grid
+  union all
+  select xi, yi, -3, -3, cast(rx + w + 1 as double),
+         cast(ry - 1 as double) from grid
+  union all
+  select xi, yi, -4, -4, cast(rx + w + 1 as double),
+         cast(ry + h + 1 as double) from grid
+  union all
+  select g.xi, g.yi, p.i, q.i,
+         cast(g.rx + p.i as double), cast(g.ry + q.i as double)
+  from grid g
+  cross join (select unnest(generate_series(0, {_SR_PX - 1})) as i) p
+  cross join (select unnest(generate_series(0, {_SR_PX - 1})) as i) q
+  where p.i < g.w and q.i < g.h
+),
+inv1 as (
+  select i.xi, i.yi, i.ii, i.jj, l.e, l.ns, l.lon0, l.a, l.f0,
+         (i.xr / l.sf - l.px0) / l.k0 as xp,
+         l.rho0 - (i.yr / l.sf - l.py0) / l.k0 as yp
+  from ipts i cross join lcc l
+),
+inv2 as (select *, sqrt(xp * xp + yp * yp) as rh1 from inv1),
+inv3 as (
+  select xi, yi, ii, jj, ns, lon0,
+    case when rh1 = 0.0 then 0.0 else atan2(xp, yp) end as theta,
+    pow(rh1 / (a * f0), 1.0 / ns) as tsv
+  from inv2
+),
+ph(xi, yi, ii, jj, tsv, it, phi, done) as (
+  select xi, yi, ii, jj, tsv, 0,
+         pi() / 2.0 - 2.0 * atan(tsv), false
+  from inv3
+  union all
+  select xi, yi, ii, jj, tsv, it + 1, phi + dphi, abs(dphi) < 1.0e-10
+  from (
+    select p.xi, p.yi, p.ii, p.jj, p.tsv, p.it, p.phi,
+      pi() / 2.0
+        - 2.0 * atan(p.tsv * pow((1.0 - l.e * sin(p.phi))
+                                 / (1.0 + l.e * sin(p.phi)), l.e / 2.0))
+        - p.phi as dphi
+    from ph p cross join lcc l
+    where not p.done and p.it < 15
+  ) t
+),
+pll as (
+  select v.xi, v.yi, v.ii, v.jj,
+         degrees(v.theta / v.ns + v.lon0) as lon_deg,
+         degrees(f.lat) as lat_deg
+  from inv3 v
+  join (select xi, yi, ii, jj, max(phi) filter (where done) as lat
+        from ph group by xi, yi, ii, jj) f
+    on f.xi = v.xi and f.yi = v.yi and f.ii = v.ii and f.jj = v.jj
+  where f.lat is not null
+),
+cov as (
+  select xi, yi,
+    greatest(cast(floor(min(lon_deg) * {float(_CQ_TS)!r} / {_CQ_TS}) as int),
+             {_CQ_LON0}) as tx_lo,
+    least(cast(ceil(max(lon_deg) * {float(_CQ_TS)!r} / {_CQ_TS}) as int) - 1,
+          {_CQ_LON0 + _CQ_NTX - 1}) as tx_hi,
+    greatest(cast(floor(min(lat_deg) * {float(_CQ_TS)!r} / {_CQ_TS}) as int),
+             {_CQ_LAT0}) as ty_lo,
+    least(cast(ceil(max(lat_deg) * {float(_CQ_TS)!r} / {_CQ_TS}) as int) - 1,
+          {_CQ_LAT0 + _CQ_NTY - 1}) as ty_hi
+  from pll where ii < 0 group by xi, yi
+),
+rects as (
+  select g.xi, g.yi, g.w, g.h,
+         (c.tx_hi - c.tx_lo + 1) * (c.ty_hi - c.ty_lo + 1) as n_dem,
+         c.tx_lo * {_CQ_TS} as cx0, c.ty_lo * {_CQ_TS} as cy0,
+         (c.tx_hi - c.tx_lo + 1) * {_CQ_TS} as mw,
+         (c.ty_hi - c.ty_lo + 1) * {_CQ_TS} as mh
+  from grid g join cov c on c.xi = g.xi and c.yi = g.yi
+  where c.tx_hi >= c.tx_lo and c.ty_hi >= c.ty_lo
+),
+px as (
+  select p.xi, p.yi,
+         p.lon_deg * {float(_CQ_TS)!r} - r.cx0 as x,
+         p.lat_deg * {float(_CQ_TS)!r} - r.cy0 as y,
+         r.cx0, r.cy0, r.mw, r.mh
+  from pll p join rects r on r.xi = p.xi and r.yi = p.yi
+  where p.ii >= 0
+),
+shaded as (
+  select xi, yi, count(*) as n
+  from px
+  where floor(x) >= 0 and floor(y) >= 0 and ceil(x) < mw and ceil(y) < mh
+    and exists (select 1 from world w1 where w1.gx = cast(floor(px.x) as int) + px.cx0
+                and w1.gy = cast(floor(px.y) as int) + px.cy0 and w1.h <> -32768)
+    and exists (select 1 from world w2 where w2.gx = cast(ceil(px.x) as int) + px.cx0
+                and w2.gy = cast(floor(px.y) as int) + px.cy0 and w2.h <> -32768)
+    and exists (select 1 from world w3 where w3.gx = cast(floor(px.x) as int) + px.cx0
+                and w3.gy = cast(ceil(px.y) as int) + px.cy0 and w3.h <> -32768)
+    and exists (select 1 from world w4 where w4.gx = cast(ceil(px.x) as int) + px.cx0
+                and w4.gy = cast(ceil(px.y) as int) + px.cy0 and w4.h <> -32768)
+  group by xi, yi
+)
+select cast(r.xi as int) as rt_x, cast(r.yi as int) as rt_y,
+       r.w as width, r.h as height,
+       cast(coalesce(s.n, 0) as bigint) as shaded_px,
+       cast(r.w * r.h as bigint) as total_px,
+       cast(r.n_dem as int) as n_dem_tiles
+from rects r left join shaded s on r.xi = s.xi and r.yi = s.yi
+"""
+
+
 # Marching-squares isoline stats (__spark_entry__._q_tile_isolines):
 # segments are regenerated per cell from the case table with the SAME
 # interpolation formula (isolines._CASES / _interp), degenerate
@@ -5344,4 +5533,5 @@ ORACLES = {
     "tile_isoline_cases": SQL_TILE_ISOLINE_CASES,
     "tile_isolines": SQL_TILE_ISOLINES,
     "shade_raster": SQL_SHADE_RASTER,
+    "shade_raster_lcc": SQL_SHADE_RASTER_LCC,
 }

@@ -108,3 +108,19 @@ def test_level_boundaries():
     assert P.lon_lat_delta_to_dem_level(3600, cell) == 0
     assert P.lon_lat_delta_to_dem_level(3600, 2 * cell) == 1
     assert P.lon_lat_delta_to_dem_level(3600, 1000 * cell) == P.MAX_DEM_LEVEL
+
+
+def test_phi2z_per_lane_batch_invariance():
+    """phi2z converges PER LANE (Common.fs:178-199 is a scalar loop):
+    a value's result must not depend on what else shares its batch —
+    the property the recursive-CTE oracle twin of shade_raster_lcc
+    relies on."""
+    proj = P.LambertConformalConic(
+        P.LccParameters(lat1=45.25, lat2=46.75, ellipsoid=P.GRS80), SCALE1
+    )
+    e = proj.e
+    # ts values spanning fast- and slow-converging latitudes
+    ts = np.array([0.9, 0.5, 0.1, 0.01, 0.999999])
+    batched = P._phi2z(e, ts)
+    solo = np.array([float(P._phi2z(e, np.array([t]))[0]) for t in ts])
+    assert np.array_equal(batched, solo)  # bit-exact, not approx
