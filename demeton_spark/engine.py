@@ -695,6 +695,16 @@ def shade_unified(
         )
 
     def assemble_pad_shade(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _eos
+        import time as _etime
+
+        # in-UDF phase profiling (set DEMETON_PROF_DIR to a directory):
+        # splits worker time into assemble/shade/encode so harness
+        # overhead (Arrow, scheduling) is measurable as task_time minus
+        # the sum of these — the attribution tool behind SCALE.md's
+        # core-scaling analysis.  Off (falsy) on every normal run.
+        prof = _eos.environ.get("DEMETON_PROF_DIR")
+        t0 = _etime.perf_counter() if prof else 0.0
         is_block = pdf["part"] == "B"
         blocks = pdf[is_block]
         if blocks.empty:
@@ -740,10 +750,19 @@ def shade_unified(
                              int(w), int(h), ts, k)
         if pre_steps:
             padded = apply_prefilters(padded, pre_steps)
+        t1 = _etime.perf_counter() if prof else 0.0
         rgba, shaded = shade_padded_block(
             padded, tile_x, tile_y, ts, steps, clip_poly=clip_poly,
             registry=registry,
         )
+        t2 = _etime.perf_counter() if prof else 0.0
+        png = codec.encode_rgba_png(rgba, lvl)
+        if prof:
+            t3 = _etime.perf_counter()
+            with open(
+                f"{prof}/udf_{_eos.getpid()}.txt", "a"
+            ) as fh:  # per-worker file: no cross-process lock needed
+                fh.write(f"{t1 - t0:.4f} {t2 - t1:.4f} {t3 - t2:.4f}\n")
         return pd.DataFrame(
             {
                 "tile_x": [tile_x],
@@ -751,7 +770,7 @@ def shade_unified(
                 "tile_name": [_tile_name(0, tile_x, tile_y)],
                 "width": [ts],
                 "height": [ts],
-                "png": [codec.encode_rgba_png(rgba, lvl)],
+                "png": [png],
                 "shaded_px": [shaded],
                 "total_px": [ts * ts],
                 "n_blocks": [n_blocks_in],
