@@ -130,6 +130,73 @@ def probe_steal(seconds: float = 2.0) -> float:
         return -1.0
 
 
+def probe_kernel(reference_sec: float = 0.38) -> dict:
+    """Single-process shade+encode of one 1800² tile, vs a known-quiet
+    reference.
+
+    /proc/stat steal misses one of this host's degradation modes: two
+    r4 sf1.0 attempts double-probed 0.15-0.28% steal yet ran 2.3-2.6×
+    the best wall, with the untimed warm-up itself 2.5× slow —
+    co-tenant memory-bandwidth pressure that steals no CPU time.  The
+    kernel probe measures the thing that actually varies (per-tile
+    kernel wall) in ~1 s; slowdown ≈ 1.0 means a clean window.
+    ``reference_sec`` is the quietest single-process shade-only
+    per-tile time measured on this host
+    (BENCH/KERNEL_CONCURRENCY.json level "1" ``shade_sec``)."""
+    try:
+        import numpy as np
+
+        from demeton_spark import engine, pipeline
+        from demeton_spark.synth import WorldSpec, expected_world_heights
+
+        tile = 1800
+        spec = WorldSpec(lon0=0, lat0=40, n_tiles_x=1, n_tiles_y=1,
+                         tile_size=tile, block_size=300)
+        world = expected_world_heights(spec)
+        padded = np.full((tile + 2, tile + 2), -32768, dtype=np.int16)
+        padded[1:-1, 1:-1] = world
+        steps = pipeline.parse_script("elecolor|+igor")
+        engine.shade_padded_block(padded, 0, 40, tile, steps)  # warm
+        t0 = time.time()
+        engine.shade_padded_block(padded, 0, 40, tile, steps)
+        sec = time.time() - t0
+        out = {"per_tile_sec": round(sec, 4),
+               "slowdown_vs_quiet": round(sec / reference_sec, 2)}
+        # 8-way concurrent leg: the r4 degradation mode is invisible
+        # single-threaded (probe read 0.83× while a 32-way run was
+        # 2.3× slow) — it is parallel memory-bandwidth pressure, so
+        # probe under parallel load.  fork() inherits the warmed numpy
+        # state; each child shades ONE tile.
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        t0 = time.time()
+        with ctx.Pool(8) as pool:
+            secs = pool.map(_probe_kernel_child,
+                            [(padded, tile, steps)] * 8)
+        out["per_tile_sec_8way"] = round(max(secs), 4)
+        out["slowdown_vs_quiet_8way"] = round(
+            max(secs) / KERNEL_8WAY_REFERENCE_SEC, 2)
+        out["wall_8way"] = round(time.time() - t0, 4)
+        return out
+    except Exception:
+        return {}
+
+
+# quietest 8-process shade-only per-tile time on this host
+# (BENCH/KERNEL_CONCURRENCY.json level "8" shade_sec)
+KERNEL_8WAY_REFERENCE_SEC = 0.35
+
+
+def _probe_kernel_child(args) -> float:
+    padded, tile, steps = args
+    from demeton_spark import engine
+
+    t0 = time.time()
+    engine.shade_padded_block(padded, 0, 40, tile, steps)
+    return time.time() - t0
+
+
 def sf_of_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -434,6 +501,7 @@ def main() -> None:
         # contention window) and the efficiency is computed per round;
         # headline = median round, with per-round values disclosed.
         steal_before = probe_steal()
+        kernel_before = probe_kernel()
         rounds: list[dict[int, dict]] = []
         for r in range(3):
             one = {}
@@ -465,6 +533,8 @@ def main() -> None:
                                     "bench.py --scaling window"),
             "steal_before": steal_before,
             "steal_after": steal_after,
+            "kernel_probe_before": kernel_before,
+            "kernel_probe_after": probe_kernel(),
             "eff_2_8": round(eff_2_8, 3),
             "eff_8_32": round(eff_8_32, 3),
             "per_round_2_8": [round(e, 3) for e in per_round_2_8],
@@ -823,6 +893,7 @@ def _load_weak_scaling_artifact():
 
 
 def run_weak_scaling(cpus: int) -> None:
+    kernel_before = probe_kernel()
     points = []
     for sf in WEAK_SFS:
         # one JVM per point: peak-memory readings do not bleed across
@@ -842,6 +913,8 @@ def run_weak_scaling(cpus: int) -> None:
         "label": os.environ.get("DEMETON_WEAK_LABEL",
                                 "bench.py --weak-scaling run"),
         "cpus": cpus,
+        "kernel_probe_before": kernel_before,
+        "kernel_probe_after": probe_kernel(),
         "points": points,
         "sec_per_mpx": {str(p["sf"]): p["sec_per_mpx"] for p in points},
     }
