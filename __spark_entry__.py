@@ -286,12 +286,34 @@ def _q_hillshade_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the driver's correctness gate checks queries() in ITERATION ORDER with
-#: a bounded budget (r3 stopped at 50 rows), so the flagship raster
-#: queries and the entries the r3 window never reached come FIRST; the
-#: TPC-ish/doc block (driver-green in r2 AND r3) is the tail that a
-#: bounded window may skip.
+#: the driver's correctness gate checks queries() in ITERATION ORDER
+#: with a bounded budget (r3/r4 stopped at 50 rows), so the window is
+#: ROTATED each round to keep every entry's driver row fresh (VERDICT
+#: r4 item 2): first the 16 entries whose last driver row is r3 (the
+#: r4 reorder pushed them out), then the 10 flagship raster queries,
+#: then the blocks with exactly one driver row (r4: embedding/k-means;
+#: r3+r4: geo).  The tail a bounded window may skip is the 16 entries
+#: that are driver-green in THREE consecutive rounds (r2, r3 AND r4) —
+#: the strongest record for omission.
 _FRONT = (
+    # last driver row = r3 (stale — fresh rows needed)
+    "doc_simhash_recall",
+    "doc_ngram_near_dup",
+    "doc_decontaminate",
+    "doc_filter_pipeline",
+    "doc_stratified_sample",
+    "events_value_quantiles",
+    "image_phash_dedup",
+    "image_phash_near_dup",
+    "pair_dedup_clusters",
+    "image_dhash",
+    "audio_features",
+    "doc_fingerprint",
+    "knn_bruteforce",
+    "knn_ivf_bucketed",
+    "knn_ivf_recall",
+    "kmeans_centroids",
+    # flagship raster queries (keep inside every window)
     "hillshade_tiles",
     "hillshade_clip",
     "shade_raster",
@@ -302,12 +324,35 @@ _FRONT = (
     "tile_isoline_cases",
     "tile_posterize",
     "tile_shade_xth",
+    # one driver row ever (r4)
     "knn_ivf_kmeans",
     "knn_ivf_kmeans_recall",
     "emb_near_dup_pairs",
     "emb_dedup_clusters",
     "emb_near_dup_recall",
     "embedding_label_stats",
+    # two driver rows (r3 + r4); geo_points_in_polygons also carries
+    # this round's ANSI divide-guard fix and needs a fresh row
+    "geocell_assign",
+    "geocell_rollup",
+    "geo_knn_cells",
+    "geo_knn_recall",
+    "geo_points_in_polygons",
+    "geo_zonal_stats",
+    "geo_point_elevation",
+    "geo_polygon_overlaps",
+    "doc_repetition",
+    # triple-green (r2+r3+r4) entries kept inside the window: the ones
+    # exercising the most intricate plans (LSH banding, sessionize)
+    "doc_minhash",
+    "doc_near_dup_pairs",
+    "doc_near_dup_recall",
+    "doc_dedup_clusters",
+    "doc_dedup_keep_best",
+    "doc_simhash",
+    "doc_simhash_near_dup",
+    "events_sessionize",
+    "tile_assign_events",
 )
 
 

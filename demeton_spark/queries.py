@@ -4814,16 +4814,22 @@ def q_geo_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pts.join(F.broadcast(cover), ["tx", "ty"])
     lat, lon = F.col("lat"), F.col("lon")
     # Half-open crossing rule, identical to geometry.points_in_polygon
-    # and to the SQL twin.  A horizontal edge (y1 == y2) fails the
-    # first conjunct, so the division never decides anything there
-    # (false AND x = false in both engines' 3-valued logic).
+    # and to the SQL twin.  The when() guard keeps a horizontal edge
+    # (y1 == y2) from planting a divide-by-zero under ANSI mode (the
+    # default in this Spark build, where double x/0 throws): the
+    # straddle conjunct is false there, but correctness must not depend
+    # on And's evaluation order; when the guard misses, lon < NULL is
+    # NULL and false & NULL = false — same shape as _pip_parity_counts.
     crosses = (
         (F.col("y1") > lat) != (F.col("y2") > lat)
     ) & (
         lon
-        < (F.col("x2") - F.col("x1")) * (lat - F.col("y1"))
-        / (F.col("y2") - F.col("y1"))
-        + F.col("x1")
+        < F.when(
+            F.col("y2") != F.col("y1"),
+            (F.col("x2") - F.col("x1")) * (lat - F.col("y1"))
+            / (F.col("y2") - F.col("y1"))
+            + F.col("x1"),
+        )
     )
     parity = (
         cand.join(F.broadcast(_gpip_edges(spark)), "poly_id")

@@ -110,8 +110,10 @@ def main() -> None:
             for n in levels
         },
     }
+    # 1→8 is an 8× width step, so divide the speedup by 8 (not the
+    # N→4N convention's 4 — that mislabeled 0.837 as 1.674 in r4)
     e18 = out["levels"]["8"]["agg_mpx_per_sec"] / (
-        4.0 * out["levels"]["1"]["agg_mpx_per_sec"])
+        8.0 * out["levels"]["1"]["agg_mpx_per_sec"])
     e832 = out["levels"]["32"]["agg_mpx_per_sec"] / (
         4.0 * out["levels"]["8"]["agg_mpx_per_sec"])
     out["kernel_efficiency_1_to_8"] = round(e18, 3)
