@@ -299,7 +299,16 @@ def run_streaming_hillshade_bench(spark) -> float:
     the sf0.01 world, micro-batched ~4 ways via maxFilesPerTrigger, so
     state-store overhead is a measured number next to the batch path
     (VERDICT r3 item 8).  availableNow drains the whole table; result
-    cardinality is asserted so a silent early stop can't pass."""
+    cardinality is asserted so a silent early stop can't pass.
+
+    State partitions are sized to the key cardinality (40 destination
+    tiles -> 8 partitions), not the session's 64 shuffle partitions:
+    the stateful operator pays a per-partition state-store commit
+    (delta file + fsync) EVERY micro-batch, and `tools/stream_profile.py`
+    measured that cost at 13-17.5 s/batch summed across 64 mostly-empty
+    state partitions vs ~0.3 s at 8 (VERDICT r4 item 3).  A production
+    deployment sizes this once at stream creation (the count is frozen
+    into the checkpoint) to O(active keys / cores), exactly as here."""
     import glob
     import shutil
     import tempfile
@@ -313,7 +322,9 @@ def run_streaming_hillshade_bench(spark) -> float:
     bounds = (spec.lon0, spec.lat0,
               spec.lon0 + spec.n_tiles_x - 1, spec.lat0 + spec.n_tiles_y - 1)
     ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         t0 = time.time()
         stream_in = streaming.read_images_stream(
             spark, images_path, max_files_per_trigger=per_trigger
@@ -335,6 +346,7 @@ def run_streaming_hillshade_bench(spark) -> float:
             )
         return round(sec, 3)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 

@@ -36,7 +36,7 @@ def main() -> None:
     from demeton_spark import codec, streaming
     from demeton_spark.session import build_session
 
-    extra = {}
+    extra = {"spark.ui.enabled": "true"}
     if args.rocksdb:
         extra["spark.sql.streaming.stateStore.providerClass"] = (
             "org.apache.spark.sql.execution.streaming.state."
@@ -84,8 +84,27 @@ def main() -> None:
                 "stateRowsTotal": so.get("numRowsTotal"),
                 "stateMemUsedBytes": so.get("memoryUsedBytes"),
             })
+        stages = []
+        try:
+            import urllib.request
+
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            for st in json.load(urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app}/stages?status=complete")):
+                stages.append({
+                    "stage": st["stageId"],
+                    "name": st["name"].split("\n")[0][:60],
+                    "tasks": st["numCompleteTasks"],
+                    "run_s": round(st.get("executorRunTime", 0) / 1e3, 2),
+                    "cpu_s": round(st.get("executorCpuTime", 0) / 1e9, 2),
+                    "sched_delay_like_ms": None,
+                })
+        except Exception:
+            pass
         out = {
             "wall_sec": round(wall, 3),
+            "stages": sorted(stages, key=lambda s: -s["run_s"])[:10],
             "tiles": n,
             "rocksdb": args.rocksdb,
             "partitions": args.partitions
