@@ -130,7 +130,7 @@ def probe_steal(seconds: float = 2.0) -> float:
         return -1.0
 
 
-def probe_kernel(reference_sec: float = 0.38) -> dict:
+def probe_kernel(reference_sec: float = 0.28) -> dict:
     """Single-process shade+encode of one 1800² tile, vs a known-quiet
     reference.
 
@@ -190,7 +190,7 @@ def probe_kernel(reference_sec: float = 0.38) -> dict:
 
 # quietest 8-process shade-only per-tile time on this host
 # (BENCH/KERNEL_CONCURRENCY.json level "8" shade_sec)
-KERNEL_8WAY_REFERENCE_SEC = 0.35
+KERNEL_8WAY_REFERENCE_SEC = 0.27
 
 
 def _probe_kernel_child(tile: int) -> float:
@@ -845,6 +845,13 @@ Arrow.  Interleaved rounds, steal probed
   the hardware's own ceiling for this compute at 32-way (per-tile time
   inflates {kc['levels']['32']['per_tile_sec'] / kc['levels']['8']['per_tile_sec']:.2f}×
   with zero framework involved: memory bandwidth, not Spark).
+- The ceiling itself moves with co-tenant weather: an r4 run of the
+  same tool measured 8→32 = 0.691 (level-1 rounds spread 4.7–8.8
+  Mpx/s — a contended window); the r5 clean-window run above reads
+  0.852.  Spark-vs-ceiling comparisons are only valid within matching
+  weather, and in any weather some of the Spark 8→32 gap below the
+  clean ceiling is harness cost (shuffle fetch + Arrow + scheduling),
+  not hardware.
 - Artifact: `BENCH/KERNEL_CONCURRENCY.json`.
 
 Any Spark 8→32 number must be read against this ceiling: the plan's
