@@ -585,8 +585,14 @@ def main() -> None:
         return
 
     steal_before = probe_steal()
+    # /proc/stat steal misses this host's dominant contention mode
+    # (co-tenant memory bandwidth, which steals no CPU); the kernel
+    # probe's 8-way leg reads it directly — slowdown ≈ 1.0 means a
+    # genuinely quiet window, ≥1.3 explains a slow-looking headline.
+    kernel_before = probe_kernel()
     hs, queries = bench_once(cpus, sf_dir, sf, include_queries=True)
     steal_after = probe_steal()
+    kernel_after = probe_kernel()
     total = round(sum(queries.values()), 3)
     weak = _load_weak_scaling_artifact()
     # COMPACT headline only.  The driver records a 2,000-char TAIL of
@@ -618,6 +624,12 @@ def main() -> None:
         "n": 3,
         "stat": "median",
         "steal_probe": {"before": steal_before, "after": steal_after},
+        "kernel_probe_slowdown": {
+            "before": [kernel_before.get("slowdown_vs_quiet"),
+                       kernel_before.get("slowdown_vs_quiet_8way")],
+            "after": [kernel_after.get("slowdown_vs_quiet"),
+                      kernel_after.get("slowdown_vs_quiet_8way")],
+        },
         "artifacts": {
             "queries": queries_artifact,
             "weak_scaling": "BENCH/WEAKSCALING.json" if weak else None,
